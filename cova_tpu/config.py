@@ -1,0 +1,171 @@
+"""Configuration for the CoVA-TPU framework.
+
+Replaces the reference's two-tier config (static ``Constants`` class,
+``/root/reference/constants.py:1-13``, plus the 14 argparse flags of
+``/root/reference/utils.py:10-34``) with a single frozen dataclass. The
+hyperparameter set, defaults, and the results-directory keying scheme
+(``/root/reference/main.py:71-83``) are kept identical so artifacts produced by
+this framework land in the same place a reference user expects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+# Class taxonomy (reference constants.py:5-11). Index 0 ("BG") is ignored in
+# all accuracy reporting.
+CLASS_NAMES: Tuple[str, ...] = ("BG", "Price", "Title", "Image")
+N_CLASSES: int = len(CLASS_NAMES)
+SEED: int = 123  # reference constants.py:2
+
+# Dataset-wide bound on boxes per page: max 230 (splits/bbox_stats.txt:3).
+# Padded static batches use the next multiple of 8 that covers it.
+DATASET_MAX_BOXES: int = 230
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All knobs for data, model, training, and parallelism.
+
+    Field names / defaults mirror the reference CLI (utils.py:15-32) so a
+    reference user can map their flags 1:1.
+    """
+
+    # ---- paths (constants.py:3-13) ----
+    data_dir: str = "../data"
+    split_dir: str = "splits"
+    output_dir: str = "results_5-Fold_CV"
+
+    # ---- reproducibility ----
+    seed: int = SEED
+
+    # ---- data / image geometry ----
+    img_height: int = 1280  # square screenshots (constants.py:12)
+    context_size: int = 12  # K neighbors each side (utils.py:19)
+    sampling_fraction: float = 0.9  # train-time BG subsampling (utils.py:28)
+    num_workers: int = 5  # host decode thread pool (utils.py:29)
+    max_boxes: int = DATASET_MAX_BOXES  # ragged bound; padded below
+
+    # ---- model ----
+    n_classes: int = N_CLASSES
+    roi: int = 3  # RoI pool output is (roi, roi) (utils.py:21)
+    hidden_dim: int = 384  # GAT context dim (utils.py:20)
+    bbox_hidden_dim: int = 32  # bbox positional-feature dim (utils.py:22)
+    use_additional_feat: bool = False  # (utils.py:23-25)
+    n_additional_feat: int = 0  # discovered from data when enabled
+    drop_prob: float = 0.2  # (utils.py:27)
+    backbone: str = "resnet18_stem"  # truncated ResNet-18 (models.py:49-51)
+
+    # ---- numerics (TPU-first: bf16 compute, f32 params/stats) ----
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    # ---- training (main.py:54-69, 133-139) ----
+    n_epochs: int = 50
+    learning_rate: float = 5e-4
+    batch_size: int = 5  # per-step global batch (train loader)
+    eval_batch_size: int = 10  # hardcoded in reference (datasets.py:241,252)
+    weight_decay: float = 1e-3
+    eval_interval: int = 1  # epochs between val evals (main.py:28)
+    patience: int = 7  # early stopping (train.py:30)
+
+    # ---- parallelism ----
+    num_devices: int = 1  # data-parallel mesh size
+    model_parallel: int = 1  # optional tensor-parallel axis for wide heads
+
+    # ---- fold protocol ----
+    cv_fold: int = 1  # 1..5, or -1 = use split_dir files directly
+
+    # ---- derived ----
+    @property
+    def use_context(self) -> bool:
+        return self.context_size > 0
+
+    @property
+    def n_context(self) -> int:
+        return 2 * self.context_size
+
+    @property
+    def gat_hidden_dim(self) -> int:
+        # Reference zeroes hidden_dim when context is disabled (main.py:58-59).
+        return self.hidden_dim if self.use_context else 0
+
+    @property
+    def pad_boxes(self) -> int:
+        """Static per-image box count for padded batches."""
+        return _round_up(self.max_boxes, 8)
+
+    @property
+    def feature_stride(self) -> int:
+        """Backbone output stride. Static (reference derives it with a dummy
+        forward, models.py:53-56; ours is stride 4 by construction)."""
+        return 4
+
+    @property
+    def n_visual_feat(self) -> int:
+        return 64 * self.roi * self.roi  # 64-ch feature map (models.py:60-62)
+
+    @property
+    def n_feat(self) -> int:
+        n_add = self.n_additional_feat if self.use_additional_feat else 0
+        return self.n_visual_feat + self.bbox_hidden_dim + n_add
+
+    @property
+    def n_total_feat(self) -> int:
+        return self.n_feat + self.gat_hidden_dim
+
+    # ---- artifact locations (compatible with reference main.py:71-107) ----
+    @property
+    def params_key(self) -> str:
+        """Hyperparameter string that keys the results directory.
+
+        Byte-identical to the reference format (main.py:71-83): the directory
+        name doubles as the run identity that ``eval``/``visualize`` use to
+        find checkpoints.
+        """
+        return (
+            "lr-%.0e batch-%d cs-%d hd-%d roi-%d bbhd-%d af-%d wd-%.0e "
+            "dp-%.1f sf-%.1f"
+            % (
+                self.learning_rate,
+                self.batch_size,
+                self.context_size,
+                self.gat_hidden_dim,
+                self.roi,
+                self.bbox_hidden_dim,
+                int(self.use_additional_feat),
+                self.weight_decay,
+                self.drop_prob,
+                self.sampling_fraction,
+            )
+        )
+
+    @property
+    def results_dir(self) -> str:
+        return os.path.join(self.output_dir, self.params_key)
+
+    @property
+    def fold_dir(self) -> str:
+        if self.cv_fold == -1:
+            return self.split_dir
+        return os.path.join(self.split_dir, "Fold-%d" % self.cv_fold)
+
+    def log_file(self) -> str:
+        return os.path.join(self.results_dir, "Fold-%s logs.txt" % self.cv_fold)
+
+    def ckpt_dir(self) -> str:
+        return os.path.join(
+            self.results_dir, "Fold-%s saved_model.orbax" % self.cv_fold
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = Config()

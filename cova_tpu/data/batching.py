@@ -1,0 +1,79 @@
+"""Padded batch assembly: list of pages -> statically-shaped arrays.
+
+Replaces the reference's ragged ``custom_collate_fn``
+(``/root/reference/datasets.py:141-190``). Where the reference concatenates
+variable-length box lists into a flat ``[N_total, 5]`` tensor and offsets
+context indices by a running box count, this builds rectangular ``[B, P, ...]``
+arrays with a validity mask — the layout XLA needs for a single compiled train
+step. Context indices remain per-image; the model's GAT resolves them inside
+each image's row block, so no offsetting is required.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+
+from .records import PaddedPage
+
+
+class Batch(NamedTuple):
+    """One statically-shaped training/eval batch (a JAX pytree).
+
+    ``images`` are uint8 NHWC; normalization to [0, 1] happens on-device
+    (the reference does ToTensor on host, ``datasets.py:41-45``).
+    """
+
+    images: np.ndarray  # [B, H, W, 3] uint8
+    boxes: np.ndarray  # [B, P, 4] float32 x1y1x2y2 (image coords)
+    labels: np.ndarray  # [B, P] int32
+    box_mask: np.ndarray  # [B, P] bool
+    context_indices: np.ndarray  # [B, P, 2K] int32 per-image, -1 = pad
+    additional_feats: np.ndarray  # [B, P, F] float32 (F may be 0)
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.images.shape[0])
+
+
+def collate(
+    images: Sequence[np.ndarray], pages: Sequence[PaddedPage]
+) -> Batch:
+    assert len(images) == len(pages)
+    return Batch(
+        images=np.stack(images, 0),
+        boxes=np.stack([p.boxes_xyxy for p in pages], 0),
+        labels=np.stack([p.labels for p in pages], 0),
+        box_mask=np.stack([p.box_mask for p in pages], 0),
+        context_indices=np.stack([p.context_indices for p in pages], 0),
+        additional_feats=np.stack([p.additional_feats for p in pages], 0),
+    )
+
+
+def pad_batch(batch: Batch, target_b: int) -> tuple[Batch, np.ndarray]:
+    """Pad the leading batch dim to ``target_b`` (for the last partial batch
+    under a fixed-shape jitted step). Returns (padded batch, page validity
+    mask [target_b])."""
+    b = batch.batch_size
+    if b == target_b:
+        return batch, np.ones((b,), dtype=bool)
+    assert b < target_b
+    pad = target_b - b
+
+    def _pad(x: np.ndarray) -> np.ndarray:
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths)
+
+    page_mask = np.zeros((target_b,), dtype=bool)
+    page_mask[:b] = True
+    padded = Batch(*[_pad(np.asarray(f)) for f in batch])
+    # Keep padded pages fully masked out.
+    padded = padded._replace(
+        box_mask=np.where(page_mask[:, None], padded.box_mask, False)
+    )
+    return padded, page_mask
+
+
+def page_ids_of(pages: Sequence[PaddedPage]) -> List[str]:
+    return [p.page_id for p in pages]

@@ -1,0 +1,185 @@
+"""Host input pipeline: threaded decode + background prefetch.
+
+TPU-first replacement for the reference's ``DataLoader(num_workers=...)``
+fork-based workers (``/root/reference/datasets.py:224-258``): a thread pool
+decodes PNGs (PIL releases the GIL in zlib/decode), batches are assembled into
+padded arrays, and a bounded background queue keeps a couple of batches ready
+so the accelerator never waits on the host. Sampling and shuffling use
+explicit, per-(epoch, page) seeded numpy Generators — unlike the reference,
+whose worker-process RNG for BG sampling is unseeded (``datasets.py:101-110``),
+every epoch here is exactly reproducible.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .batching import Batch, collate
+from .dataset import WebDataset
+from .records import pad_page, sample_background
+
+
+class DataPipeline:
+    """Iterable over (page_ids, Batch) tuples for one split.
+
+    Args:
+      dataset: the on-disk dataset.
+      batch_size: pages per batch (last batch may be smaller; the train loop
+        pads it — see ``batching.pad_batch``).
+      pad_boxes: static per-page box capacity.
+      context_size: K (neighbors each side).
+      shuffle: reshuffle page order each epoch (train only).
+      sampling_fraction: BG subsampling (train only; val/test use 1.0, as the
+        reference hardcodes at ``datasets.py:237,249``).
+      seed: base seed; combined with epoch and page index for all draws.
+      num_threads: decode threads.
+      prefetch: number of ready batches to keep ahead.
+      shard_index / shard_count: per-host sharding hook for multi-host
+        training — each host reads a disjoint stripe of each epoch's order.
+    """
+
+    def __init__(
+        self,
+        dataset: WebDataset,
+        batch_size: int,
+        pad_boxes: int,
+        context_size: int,
+        shuffle: bool = False,
+        sampling_fraction: float = 1.0,
+        seed: int = 123,
+        num_threads: int = 5,
+        prefetch: int = 2,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.pad_boxes = pad_boxes
+        self.context_size = context_size
+        self.shuffle = shuffle
+        self.sampling_fraction = sampling_fraction
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self._shard_order(np.arange(len(self.ds))))
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _shard_order(self, order: np.ndarray) -> np.ndarray:
+        return order[self.shard_index :: self.shard_count]
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch))
+            order = rng.permutation(order)
+        return self._shard_order(order)
+
+    def _make_example(self, epoch: int, index: int):
+        rec = self.ds.record(index)
+        if self.sampling_fraction < 1.0:
+            rng = np.random.default_rng((self.seed, epoch, index))
+            rec = sample_background(rec, self.sampling_fraction, rng)
+        page = pad_page(
+            rec, self.pad_boxes, self.context_size, self.ds.n_additional_feat
+        )
+        img = self.ds.image(index)
+        return img, page
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[
+        Tuple[List[str], Batch]
+    ]:
+        """Yield batches for one epoch, with background prefetch."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        order = self._epoch_order(epoch)
+        n_batches = (len(order) + self.batch_size - 1) // self.batch_size
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[
+                        b * self.batch_size : (b + 1) * self.batch_size
+                    ]
+                    try:
+                        examples = list(
+                            pool.map(
+                                lambda i: self._make_example(epoch, int(i)),
+                                idxs,
+                            )
+                        )
+                        imgs = [e[0] for e in examples]
+                        pages = [e[1] for e in examples]
+                        batch = collate(imgs, pages)
+                        q.put(([p.page_id for p in pages], batch))
+                    except BaseException as e:  # surface in consumer
+                        q.put(e)
+                        return
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
+
+    def __iter__(self):
+        return self.epoch()
+
+
+def make_pipelines(cfg, train_ds, val_ds, test_ds):
+    """Build the three split pipelines (reference ``load_data``,
+    ``datasets.py:193-265``): train shuffles + subsamples BG; val/test use
+    batch_size = cfg.eval_batch_size, no shuffle, no sampling."""
+    pad = cfg.pad_boxes
+    train = DataPipeline(
+        train_ds,
+        batch_size=cfg.batch_size,
+        pad_boxes=pad,
+        context_size=cfg.context_size,
+        shuffle=True,
+        sampling_fraction=cfg.sampling_fraction,
+        seed=cfg.seed,
+        num_threads=cfg.num_workers,
+    )
+    evals = [
+        DataPipeline(
+            ds,
+            batch_size=cfg.eval_batch_size,
+            pad_boxes=pad,
+            context_size=cfg.context_size,
+            shuffle=False,
+            sampling_fraction=1.0,
+            seed=cfg.seed,
+            num_threads=cfg.num_workers,
+        )
+        for ds in (val_ds, test_ds)
+    ]
+    return train, evals[0], evals[1]

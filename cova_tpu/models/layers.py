@@ -1,0 +1,121 @@
+"""Shared layers: torch-compatible initializers and masked BatchNorm.
+
+The reference trains with torch defaults; to keep training dynamics
+comparable we reproduce torch's ``nn.Linear``/``nn.Conv2d`` init
+(kaiming-uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) for kernel and bias) and
+``BatchNorm1d`` semantics — including the subtlety that padded batches must
+not pollute statistics: the reference normalizes over *all real boxes in a
+batch* (``/root/reference/models.py:66-70,86``); our padded layout therefore
+needs a mask-aware BatchNorm that (a) computes batch statistics over valid
+rows only, (b) normalizes with the biased variance, and (c) updates running
+stats with the unbiased variance — exactly torch's split.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch nn.Linear / nn.Conv2d default kernel init: U(+-1/sqrt(fan_in)).
+torch_kernel_init = nn.initializers.variance_scaling(
+    scale=1.0 / 3.0, mode="fan_in", distribution="uniform"
+)
+
+
+def torch_bias_init(fan_in: int):
+    """torch default bias init: U(+-1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / (fan_in**0.5)
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch-default init."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the valid rows of a padded [..., F] tensor.
+
+    Statistics reduce over *all* leading dims (the global batch — under a
+    data-parallel mesh XLA turns these reductions into cross-replica
+    collectives automatically), weighted by ``mask``. Matches torch
+    ``BatchNorm1d(momentum=0.1, eps=1e-5, affine=True)``.
+    """
+
+    features: int
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    eps: float = 1e-5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        use_running_average: bool,
+    ) -> jnp.ndarray:
+        f = self.features
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (f,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (f,), self.param_dtype)
+
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                m = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+            else:
+                m = mask.astype(jnp.float32)[..., None]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.sum(xf * m, axis=red) / cnt
+            var = jnp.sum((xf**2) * m, axis=red) / cnt - mean**2
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                # torch: running update uses the *unbiased* batch variance.
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value
+                    + self.momentum * unbiased
+                )
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(
+            jnp.float32
+        )
+        return y.astype(self.dtype or x.dtype)

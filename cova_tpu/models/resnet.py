@@ -1,0 +1,161 @@
+"""ResNet backbones in Flax (NHWC, bf16-friendly).
+
+The reference truncates an ImageNet ResNet-18 after ``layer1``
+(``/root/reference/models.py:48-56``): conv1(7x7/2) -> bn -> relu ->
+maxpool(3x3/2) -> two 64-channel basic blocks, i.e. output stride 4 with 64
+channels. That truncated stem is the default backbone here, built natively in
+NHWC so XLA tiles the convs straight onto the MXU. Full ResNet-18/34/50 are
+also provided for the scaled "stretch" configuration (BASELINE.json), with
+configurable truncation.
+
+Weights: trains from scratch by default (no hub download — this environment
+has no egress); ``cova_tpu.utils.torch_port.port_resnet_state_dict`` converts
+a torchvision ``state_dict`` when one is available on disk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Conv = partial(nn.Conv, use_bias=False, kernel_init=nn.initializers.he_normal())
+
+
+class BatchNorm(nn.Module):
+    """torch-flavoured BatchNorm2d wrapper (momentum 0.1, eps 1e-5)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # flax decay == 1 - torch momentum(0.1)
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = Conv(
+            self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+        )(x)
+        y = BatchNorm(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = Conv(
+            self.filters, (3, 3), (1, 1), padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+        )(y)
+        y = BatchNorm(self.dtype)(y, train)
+        if residual.shape != y.shape:
+            residual = Conv(
+                self.filters, (1, 1), self.strides, dtype=self.dtype
+            )(x)
+            residual = BatchNorm(self.dtype)(residual, train)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = Conv(self.filters, (1, 1), dtype=self.dtype)(x)
+        y = BatchNorm(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = Conv(
+            self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+        )(y)
+        y = BatchNorm(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = Conv(self.filters * 4, (1, 1), dtype=self.dtype)(y)
+        y = BatchNorm(self.dtype)(y, train)
+        if residual.shape != y.shape:
+            residual = Conv(
+                self.filters * 4, (1, 1), self.strides, dtype=self.dtype
+            )(x)
+            residual = BatchNorm(self.dtype)(residual, train)
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet feature extractor, truncatable after any stage.
+
+    stage_sizes: blocks per stage (e.g. (2, 2, 2, 2) for ResNet-18).
+    n_stages: how many stages to keep. 1 == the reference's truncated stem
+      (stride 4); 4 == the full backbone (stride 32).
+    """
+
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    block_cls: Callable = BasicBlock
+    n_stages: int = 1
+    dtype: Any = None
+
+    @property
+    def output_stride(self) -> int:
+        return 4 * (2 ** (self.n_stages - 1))
+
+    @property
+    def output_channels(self) -> int:
+        mult = 4 if self.block_cls is Bottleneck else 1
+        return 64 * (2 ** (self.n_stages - 1)) * mult
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # Stem: 7x7/2 conv, bn, relu, 3x3/2 maxpool (models.py:49-51 keeps
+        # exactly conv1, bn1, relu, maxpool from torchvision's children()).
+        x = Conv(
+            64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], dtype=self.dtype
+        )(x)
+        x = BatchNorm(self.dtype)(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+        for stage in range(self.n_stages):
+            filters = 64 * (2**stage)
+            for block in range(self.stage_sizes[stage]):
+                strides = (2, 2) if stage > 0 and block == 0 else (1, 1)
+                x = self.block_cls(
+                    filters, strides=strides, dtype=self.dtype
+                )(x, train)
+        return x
+
+
+def make_backbone(name: str, dtype=None) -> ResNetBackbone:
+    """Backbone registry. ``resnet18_stem`` is the reference architecture."""
+    table = {
+        "resnet18_stem": dict(
+            stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, n_stages=1
+        ),
+        "resnet18": dict(
+            stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, n_stages=4
+        ),
+        "resnet34_stem": dict(
+            stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock, n_stages=1
+        ),
+        "resnet50_stem": dict(
+            stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, n_stages=1
+        ),
+        "resnet50": dict(
+            stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, n_stages=4
+        ),
+    }
+    if name not in table:
+        raise ValueError(f"unknown backbone {name!r}; options: {list(table)}")
+    return ResNetBackbone(dtype=dtype, **table[name])

@@ -1,0 +1,111 @@
+"""Device mesh + sharding layout for data/tensor-parallel training.
+
+The reference is strictly single-device (``/root/reference/main.py:17`` picks
+one ``cuda:<d>`` or CPU; no ``torch.distributed`` anywhere). Scale-out here is
+native: a (data, model) ``jax.sharding.Mesh``; batches are sharded on ``data``
+across ICI, parameters are replicated except the wide decoder/GAT kernels,
+which can be tensor-sharded on ``model``. Everything runs under one ``jit`` —
+XLA inserts the psum/all-gather collectives (gradient reduction, cross-replica
+masked-BN statistics) from the sharding layout; there are no hand-written
+communication calls to port.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    n = n_data * n_model
+    assert n <= len(devices), (n, len(devices))
+    grid = mesh_utils.create_device_mesh(
+        (n_data, n_model), devices=devices[:n]
+    )
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Param tree paths whose *last* axis is tensor-sharded over the model axis
+# when the mesh has one. These are the wide matmuls (decoder 992x992, GAT
+# projections 608x384); everything else is replicated.
+_MODEL_SHARDED_SUFFIXES = (
+    ("decoder_hidden", "Dense_0", "kernel"),
+    ("gat", "W_i", "kernel"),
+    ("gat", "W_j", "kernel"),
+)
+
+
+def _path_names(path) -> tuple:
+    names = []
+    for k in path:
+        names.append(getattr(k, "key", getattr(k, "name", str(k))))
+    return tuple(names)
+
+
+def param_shardings(params: Any, mesh: Mesh):
+    """Sharding tree for the params pytree."""
+    use_model = mesh.shape.get("model", 1) > 1
+
+    def rule(path, leaf):
+        names = _path_names(path)
+        if use_model and leaf.ndim >= 2:
+            for suffix in _MODEL_SHARDED_SUFFIXES:
+                if names[-len(suffix):] == suffix:
+                    spec = [None] * (leaf.ndim - 1) + ["model"]
+                    return NamedSharding(mesh, P(*spec))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def state_shardings(state: Any, mesh: Mesh):
+    """Sharding tree for a full TrainState: params + their optimizer moments
+    share the param layout; scalars/stats replicate."""
+    pshard = param_shardings(state.params, mesh)
+
+    def like_params(tree):
+        # Adam moments mirror param shapes; reuse the param rule by path.
+        return param_shardings(tree, mesh)
+
+    import optax  # local import to avoid cycle at module load
+
+    def map_opt(entry):
+        if isinstance(entry, optax.ScaleByAdamState):
+            return entry._replace(
+                count=replicated(mesh),
+                mu=like_params(entry.mu),
+                nu=like_params(entry.nu),
+            )
+        return jax.tree.map(lambda _: replicated(mesh), entry)
+
+    opt_shard = tuple(map_opt(e) for e in state.opt_state)
+    return state.replace(
+        step=replicated(mesh),
+        params=pshard,
+        batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
+        opt_state=opt_shard,
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, batch-dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch)

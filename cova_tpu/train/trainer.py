@@ -1,0 +1,182 @@
+"""Training loop: epochs, periodic eval, early stopping, best-checkpoint.
+
+Rebuilds ``train_model`` / ``evaluate_model``
+(``/root/reference/train.py:9-171``) over the padded pipeline + jitted steps:
+
+  * epoch log line, eval cadence (``epoch == 1 or epoch % interval == 0 or
+    epoch == n_epochs``, ``train.py:72``), early stopping with patience 7 on
+    the mean non-BG val class accuracy (``train.py:29-89``), and
+    restore-best-at-end (``train.py:93-95``) all match the reference;
+  * metrics accumulate as device scalars and are fetched once per epoch (no
+    per-step host syncs);
+  * checkpoints carry optimizer state for true resume (the reference saves
+    params only).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.batching import Batch, pad_batch
+from ..utils.checkpoint import (
+    CheckpointManager,
+    restore_train_state,
+    save_train_state,
+)
+from ..utils.logging import MetricsLogger, print_and_log
+from .steps import TrainState, eval_step, train_step
+
+
+def run_eval(
+    state: TrainState,
+    pipeline,
+    n_classes: int,
+    class_names,
+    split_name: str = "VAL",
+    log_file: Optional[str] = None,
+    k: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate one split. Returns (img_acc [n_imgs, n_classes] int32 with
+    img_id in column 0, class_acc [n_classes] percentages) — the reference
+    ``evaluate_model`` contract (``train.py:99-171``)."""
+    start = time.time()
+    eval_bs = pipeline.batch_size
+    rows: List[List[int]] = []
+    pending = []  # (ids, device correctness) — fetch lazily
+    for ids, batch in pipeline.epoch(epoch=0):
+        b = batch.batch_size
+        batch, _ = pad_batch(batch, eval_bs)
+        out = eval_step(state, batch, n_classes=n_classes)
+        pending.append((ids, b, out["correct"]))
+    for ids, b, correct in pending:
+        c = np.asarray(correct)[:b].astype(np.int32)
+        for i, page_id in enumerate(ids):
+            rows.append([int(page_id)] + list(c[i]))
+    img_acc = np.array(rows, dtype=np.int32)
+    class_acc = np.zeros(n_classes)
+    class_acc[1:] = img_acc[:, 1:].mean(0) * 100
+
+    print_and_log(
+        "[%s] Avg_class_Accuracy: %.2f%% (%.2fs)"
+        % (split_name, class_acc[1:].mean(), time.time() - start),
+        log_file,
+    )
+    for c in range(1, n_classes):
+        print_and_log(
+            "%s top-%d-Acc: %.2f%%" % (class_names[c], k, class_acc[c]),
+            log_file,
+        )
+    print_and_log("", log_file)
+    return img_acc, class_acc
+
+
+def fit(
+    state: TrainState,
+    cfg,
+    train_pipeline,
+    val_pipeline,
+    ckpt: CheckpointManager,
+    log_file: Optional[str] = None,
+    metrics: Optional[MetricsLogger] = None,
+    class_names=("BG", "Price", "Title", "Image"),
+    resume: bool = False,
+) -> Tuple[TrainState, float]:
+    """Train with early stopping; returns (best-restored state, best val acc).
+    """
+    metrics = metrics or MetricsLogger(None)
+    rng = jax.random.PRNGKey(cfg.seed)
+    best_eval_acc = 0.0
+    patience_count = 0
+    start_epoch = 1
+
+    if resume and ckpt.exists("last"):
+        extra_t = {
+            "epoch": np.zeros((), np.int32),
+            "best_eval_acc": np.zeros((), np.float64),
+            "patience": np.zeros((), np.int32),
+        }
+        state, extra = restore_train_state(ckpt, "last", state, extra_t)
+        start_epoch = int(extra["epoch"]) + 1
+        best_eval_acc = float(extra["best_eval_acc"])
+        patience_count = int(extra["patience"])
+        print_and_log(
+            f"Resuming from epoch {start_epoch} "
+            f"(best val {best_eval_acc:.2f})",
+            log_file,
+        )
+
+    print("Training Model for %d epochs..." % cfg.n_epochs)
+    stop = False
+    for epoch in range(start_epoch, cfg.n_epochs + 1):
+        start = time.time()
+        step_metrics = []
+        for _, batch in train_pipeline.epoch(epoch=epoch):
+            batch, _ = pad_batch(batch, cfg.batch_size)
+            rng, step_rng = jax.random.split(rng)
+            state, m = train_step(state, batch, step_rng)
+            step_metrics.append(m)
+
+        # One host sync per epoch.
+        step_metrics = jax.device_get(step_metrics)
+        loss_sum = float(sum(m["loss_sum"] for m in step_metrics))
+        n_correct = float(sum(m["n_correct"] for m in step_metrics))
+        n_boxes = float(sum(m["n_boxes"] for m in step_metrics))
+        epoch_secs = time.time() - start
+        print_and_log(
+            "Epoch: %2d  Loss: %.4f  Accuracy: %.2f%%  (%.2fs)"
+            % (epoch, loss_sum / n_boxes, 100 * n_correct / n_boxes,
+               epoch_secs),
+            log_file,
+        )
+        metrics.log(
+            "train_epoch",
+            epoch=epoch,
+            loss=loss_sum / n_boxes,
+            acc=n_correct / n_boxes,
+            seconds=epoch_secs,
+            pages_per_sec=len(train_pipeline.ds) / epoch_secs,
+        )
+
+        if (
+            epoch == 1
+            or epoch % cfg.eval_interval == 0
+            or epoch == cfg.n_epochs
+        ):
+            _, class_acc = run_eval(
+                state, val_pipeline, cfg.n_classes, class_names, "VAL",
+                log_file,
+            )
+            eval_acc = float(class_acc[1:].mean())
+            metrics.log("val", epoch=epoch, avg_class_acc=eval_acc)
+            if eval_acc > best_eval_acc:
+                best_eval_acc = eval_acc
+                patience_count = 0
+                save_train_state(
+                    ckpt, "best", state,
+                    {"epoch": np.int32(epoch),
+                     "best_eval_acc": np.float64(best_eval_acc),
+                     "patience": np.int32(patience_count)},
+                )
+            else:
+                patience_count += 1
+                if patience_count >= cfg.patience:
+                    print("Early Stopping!")
+                    stop = True
+
+        save_train_state(
+            ckpt, "last", state,
+            {"epoch": np.int32(epoch),
+             "best_eval_acc": np.float64(best_eval_acc),
+             "patience": np.int32(patience_count)},
+        )
+        if stop:
+            break
+
+    print("Model Trained! Restoring model to best Eval performance checkpoint...")
+    if ckpt.exists("best"):
+        state, _ = restore_train_state(ckpt, "best", state)
+    return state, best_eval_acc

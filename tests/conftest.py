@@ -1,0 +1,52 @@
+"""Test harness: CPU backend with 8 virtual devices.
+
+The TPU-native analogue of a fake backend (SURVEY.md §4): every test runs on
+``JAX_PLATFORMS=cpu`` with ``--xla_force_host_platform_device_count=8`` so the
+data-parallel/tensor-parallel mesh paths are exercised without TPU hardware.
+Must set the env vars before jax initializes.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may export axon/tpu
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# A sitecustomize module may import jax at interpreter start (freezing
+# jax_platforms from the original environment) — override via the config API
+# too; this works as long as no backend has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    from cova_tpu.config import Config
+
+    # Small geometry so CPU tests are fast; all structural knobs exercised.
+    return Config(
+        img_height=64,
+        max_boxes=24,
+        context_size=3,
+        hidden_dim=32,
+        bbox_hidden_dim=8,
+        batch_size=2,
+        eval_batch_size=4,
+        compute_dtype="float32",  # CPU tests compare against f32 oracles
+    )

@@ -1,0 +1,111 @@
+"""MaskedBatchNorm vs torch.nn.BatchNorm1d on the valid rows.
+
+The reference normalizes over all real boxes in a flat ragged batch
+(models.py:66-70,86); our padded layout must produce identical statistics —
+torch itself (CPU) is the oracle: BN over the flat valid rows must equal our
+masked BN over the padded layout, in both train and eval mode, including
+running-stat updates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from cova_tpu.models.layers import MaskedBatchNorm
+
+
+def _setup(rng, b=3, p=10, f=6, n_valid=(7, 10, 4)):
+    x = rng.normal(size=(b, p, f)).astype(np.float32) * 3 + 1
+    mask = np.zeros((b, p), bool)
+    for i, nv in enumerate(n_valid):
+        mask[i, :nv] = True
+    return x, mask
+
+
+def _flat_valid(x, mask):
+    return x[mask]
+
+
+def test_train_mode_matches_torch(rng):
+    x, mask = _setup(rng)
+    bn = MaskedBatchNorm(6)
+    variables = bn.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask), False
+    )
+    y, mutated = bn.apply(
+        variables,
+        jnp.asarray(x),
+        jnp.asarray(mask),
+        False,
+        mutable=["batch_stats"],
+    )
+
+    tbn = torch.nn.BatchNorm1d(6)
+    tbn.train()
+    flat = torch.from_numpy(_flat_valid(x, mask))
+    ty = tbn(flat)
+
+    np.testing.assert_allclose(
+        np.asarray(y)[mask], ty.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+    # Running stats: torch updates with momentum 0.1 and unbiased variance.
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]),
+        tbn.running_var.numpy(),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_eval_mode_uses_running_stats(rng):
+    x, mask = _setup(rng)
+    bn = MaskedBatchNorm(6)
+    variables = bn.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask), False
+    )
+    # Seed non-trivial running stats.
+    stats = {
+        "mean": jnp.asarray(rng.normal(size=6).astype(np.float32)),
+        "var": jnp.asarray(rng.uniform(0.5, 2, 6).astype(np.float32)),
+    }
+    variables = {"params": variables["params"], "batch_stats": stats}
+    y = bn.apply(variables, jnp.asarray(x), jnp.asarray(mask), True)
+
+    tbn = torch.nn.BatchNorm1d(6)
+    with torch.no_grad():
+        tbn.running_mean.copy_(torch.from_numpy(np.asarray(stats["mean"])))
+        tbn.running_var.copy_(torch.from_numpy(np.asarray(stats["var"])))
+    tbn.eval()
+    ty = tbn(torch.from_numpy(_flat_valid(x, mask)))
+    np.testing.assert_allclose(
+        np.asarray(y)[mask], ty.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_masked_rows_do_not_affect_stats(rng):
+    """Garbage in padded rows must not change valid-row outputs."""
+    x, mask = _setup(rng)
+    bn = MaskedBatchNorm(6)
+    variables = bn.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask), False
+    )
+    y1, _ = bn.apply(
+        variables, jnp.asarray(x), jnp.asarray(mask), False,
+        mutable=["batch_stats"],
+    )
+    x2 = x.copy()
+    x2[~mask] = 1e9  # poison the padding
+    y2, _ = bn.apply(
+        variables, jnp.asarray(x2), jnp.asarray(mask), False,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(y1)[mask], np.asarray(y2)[mask], rtol=1e-5
+    )
