@@ -1,0 +1,325 @@
+"""``cova`` command-line interface: train / eval / visualize / sweep / bench.
+
+Replaces the reference's three script entry points with one CLI while keeping
+flag names, defaults, and artifact locations identical:
+
+  * ``cova train``     == ``python main.py`` (``/root/reference/main.py``)
+  * ``cova eval``      == ``python evaluate.py`` (``evaluate.py:87-209``)
+  * ``cova visualize`` == ``python extract_attn_wts_and_visualize.py``
+  * ``cova sweep``     == running main.py once per fold (README.md usage)
+  * ``cova bench``     == throughput benchmark (new; SURVEY.md §7)
+
+Flags mirror ``cmdline_args_parser`` (``utils.py:10-34``); the results
+directory is keyed by the same hyperparameter string (``main.py:71-83``) so
+checkpoints and CSVs land where a reference user expects.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from .config import CLASS_NAMES, Config
+
+
+def _add_common_flags(p: argparse.ArgumentParser):
+    # Names/defaults from the reference CLI (utils.py:15-32).
+    p.add_argument("-d", "--device", type=int, default=0,
+                   help="unused on TPU (kept for flag parity)")
+    p.add_argument("-e", "--n_epochs", type=int, default=50)
+    p.add_argument("-lr", "--learning_rate", type=float, default=0.0005)
+    p.add_argument("-bs", "--batch_size", type=int, default=5)
+    p.add_argument("-cs", "--context_size", type=int, default=12)
+    p.add_argument("-hd", "--hidden_dim", type=int, default=384)
+    p.add_argument("-r", "--roi", type=int, default=3)
+    p.add_argument("-bbhd", "--bbox_hidden_dim", type=int, default=32)
+    p.add_argument("--use_additional_feat", dest="additional_feat",
+                   action="store_true")
+    p.add_argument("-wd", "--weight_decay", type=float, default=1e-3)
+    p.add_argument("-dp", "--drop_prob", type=float, default=0.2)
+    p.add_argument("-sf", "--sampling_fraction", type=float, default=0.9)
+    p.add_argument("-nw", "--num_workers", type=int, default=5)
+    p.add_argument("-cvf", "--cv_fold", type=int, default=1,
+                   choices=[-1, 1, 2, 3, 4, 5])
+    # New (TPU framework) flags:
+    p.add_argument("--data_dir", default="../data")
+    p.add_argument("--split_dir", default="splits")
+    p.add_argument("--output_dir", default="results_5-Fold_CV")
+    p.add_argument("--img_height", type=int, default=1280)
+    p.add_argument("--backbone", default="resnet18_stem")
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="data-parallel devices (0 = all available)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the last checkpoint if present")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N_PAGES",
+                   help="use N synthetic pages instead of data_dir "
+                        "(smoke runs without the external dataset)")
+
+
+def _cfg_from_args(args) -> Config:
+    sf = args.sampling_fraction
+    if not (0 <= sf <= 1):
+        sf = 1.0  # reference clamping rule (main.py:65-69)
+    return Config(
+        data_dir=args.data_dir,
+        split_dir=args.split_dir,
+        output_dir=args.output_dir,
+        img_height=args.img_height,
+        context_size=args.context_size,
+        sampling_fraction=sf,
+        num_workers=args.num_workers,
+        roi=args.roi,
+        hidden_dim=args.hidden_dim,
+        bbox_hidden_dim=args.bbox_hidden_dim,
+        use_additional_feat=args.additional_feat,
+        drop_prob=args.drop_prob,
+        backbone=args.backbone,
+        compute_dtype=args.compute_dtype,
+        n_epochs=args.n_epochs,
+        learning_rate=args.learning_rate,
+        batch_size=args.batch_size,
+        weight_decay=args.weight_decay,
+        cv_fold=args.cv_fold,
+    )
+
+
+def _load_datasets(cfg: Config, args):
+    """Returns (train_ds, val_ds, test_ds, webpage_info, test_domains)."""
+    from .data.dataset import WebDataset, load_fold_ids
+    from .data.synthetic import InMemoryWebDataset
+
+    if args.synthetic:
+        n = args.synthetic
+        splits = (
+            list(range(0, int(n * 0.6))),
+            list(range(int(n * 0.6), int(n * 0.8))),
+            list(range(int(n * 0.8), n)),
+        )
+        base = InMemoryWebDataset(
+            n, cfg.img_height, seed=cfg.seed, max_boxes=cfg.max_boxes,
+            n_additional_feat=(
+                4 if cfg.use_additional_feat else 0
+            ),
+        )
+
+        def subset(idxs):
+            ds = InMemoryWebDataset.__new__(InMemoryWebDataset)
+            ds.root = base.root
+            ds.ids = [base.ids[i] for i in idxs]
+            ds.all_boxes = [base.all_boxes[i] for i in idxs]
+            ds.all_labels = [base.all_labels[i] for i in idxs]
+            ds.all_additional = [base.all_additional[i] for i in idxs]
+            ds._images = [base._images[i] for i in idxs]
+            ds.n_additional_feat = base.n_additional_feat
+            ds.img_h = base.img_h
+            return ds
+
+        return (*[subset(s) for s in splits], None, None)
+
+    train_ids, val_ids, test_ids, webpage_info, test_domains = load_fold_ids(
+        cfg.fold_dir
+    )
+    mk = lambda ids: WebDataset(  # noqa: E731
+        cfg.data_dir, ids, cfg.use_additional_feat
+    )
+    return mk(train_ids), mk(val_ids), mk(test_ids), webpage_info, test_domains
+
+
+def _build(cfg: Config, train_ds, val_ds, test_ds):
+    import jax
+
+    from .data.batching import pad_batch
+    from .data.pipeline import make_pipelines
+    from .models.cova import build_model
+    from .train.steps import create_train_state
+
+    if train_ds.n_additional_feat:
+        cfg = cfg.replace(n_additional_feat=train_ds.n_additional_feat)
+    train_p, val_p, test_p = make_pipelines(cfg, train_ds, val_ds, test_ds)
+    model = build_model(cfg)
+    _, example = next(iter(val_p.epoch(0)))
+    example, _ = pad_batch(example, cfg.eval_batch_size)
+    state = create_train_state(model, cfg, example, jax.random.PRNGKey(cfg.seed))
+    return cfg, model, state, train_p, val_p, test_p
+
+
+def cmd_train(args) -> int:
+    from .train.reporting import append_fold_row, evaluate
+    from .train.trainer import fit
+    from .utils.checkpoint import CheckpointManager
+    from .utils.logging import MetricsLogger, print_and_log
+
+    cfg = _cfg_from_args(args)
+    train_ds, val_ds, test_ds, webpage_info, test_domains = _load_datasets(
+        cfg, args
+    )
+    cfg, model, state, train_p, val_p, test_p = _build(
+        cfg, train_ds, val_ds, test_ds
+    )
+
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    log_file = cfg.log_file()
+    print(f'\n{"*"*20} Training on Fold-{cfg.cv_fold} {"*"*20}')
+    print(f'logs will be saved in "{log_file}"')
+    # Hyperparameter header (main.py:110-119).
+    print_and_log("Learning Rate: %.0e" % cfg.learning_rate, log_file, "w")
+    print_and_log("Batch Size: %d" % cfg.batch_size, log_file)
+    print_and_log("Context Size: %d" % cfg.context_size, log_file)
+    print_and_log("Hidden Dim: %d" % cfg.gat_hidden_dim, log_file)
+    print_and_log(
+        "RoI Pool Output Size: (%d, %d)" % (cfg.roi, cfg.roi), log_file
+    )
+    print_and_log("BBox Hidden Dim: %d" % cfg.bbox_hidden_dim, log_file)
+    print_and_log(
+        "Use Additional Features: %s" % cfg.use_additional_feat, log_file
+    )
+    print_and_log("Weight Decay: %.0e" % cfg.weight_decay, log_file)
+    print_and_log("Dropout Probability: %.2f" % cfg.drop_prob, log_file)
+    print_and_log(
+        "Sampling Fraction: %.2f\n" % cfg.sampling_fraction, log_file
+    )
+
+    ckpt = CheckpointManager(cfg.ckpt_dir())
+    metrics = MetricsLogger(os.path.join(cfg.results_dir, "metrics.jsonl"))
+    state, val_acc = fit(
+        state, cfg, train_p, val_p, ckpt, log_file, metrics,
+        class_names=CLASS_NAMES, resume=args.resume,
+    )
+
+    imgwise = os.path.join(
+        cfg.results_dir, f"Fold-{cfg.cv_fold} test_acc_imgwise.csv"
+    )
+    domainwise = os.path.join(
+        cfg.results_dir, f"Fold-{cfg.cv_fold} test_acc_domainwise.csv"
+    )
+    class_acc, macro_acc = evaluate(
+        state, test_p, cfg.n_classes, CLASS_NAMES, log_file, imgwise,
+        webpage_info, test_domains, domainwise,
+    )
+    append_fold_row(
+        os.path.join(cfg.results_dir, "fold_wise_acc.csv"),
+        cfg.cv_fold, val_acc, class_acc, macro_acc,
+    )
+    return 0
+
+
+def _restore_best(cfg, state):
+    from .utils.checkpoint import CheckpointManager, restore_train_state
+
+    ckpt = CheckpointManager(cfg.ckpt_dir())
+    assert ckpt.exists("best"), (
+        "Model does not seem to have been trained (run `cova train`) with "
+        "the hyperparameters you provided"
+    )
+    state, _ = restore_train_state(ckpt, "best", state)
+    return state
+
+
+def cmd_eval(args) -> int:
+    from .train.reporting import evaluate
+
+    cfg = _cfg_from_args(args)
+    train_ds, val_ds, test_ds, webpage_info, test_domains = _load_datasets(
+        cfg, args
+    )
+    cfg, model, state, _, _, test_p = _build(cfg, train_ds, val_ds, test_ds)
+    state = _restore_best(cfg, state)
+    # Standalone re-eval writes to CWD like the reference (evaluate.py:175-183)
+    log_file = f"Fold-{cfg.cv_fold} test_acc_classwise.txt"
+    class_acc, macro_acc = evaluate(
+        state, test_p, cfg.n_classes, CLASS_NAMES, log_file,
+        f"Fold-{cfg.cv_fold} test_acc_imgwise.csv",
+        webpage_info, test_domains,
+        f"Fold-{cfg.cv_fold} test_acc_domainwise.csv",
+    )
+    print("Class acc:", class_acc[1:], "Macro acc:", macro_acc[1:])
+    return 0
+
+
+def cmd_visualize(args) -> int:
+    from .train.extract import extract_attention
+
+    cfg = _cfg_from_args(args)
+    assert cfg.context_size > 0, (
+        "Attention Scores can only be computed if CONTEXT_SIZE > 0"
+    )
+    train_ds, val_ds, test_ds, _, _ = _load_datasets(cfg, args)
+    cfg, model, state, _, _, test_p = _build(cfg, train_ds, val_ds, test_ds)
+    state = _restore_best(cfg, state)
+    out_dir = os.path.join(
+        cfg.results_dir, f"Fold-{cfg.cv_fold} attention visualization"
+    )
+    data_dir = cfg.data_dir if not args.synthetic else None
+    extract_attention(
+        state, test_p, data_dir, out_dir,
+        visualize=not args.no_render and data_dir is not None,
+        max_pages=args.max_pages,
+    )
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """5-fold cross-validation sweep: run train once per fold
+    (the reference's `for f in 1..5: python main.py -cvf f` workflow)."""
+    rc = 0
+    for fold in args.folds:
+        fold_args = argparse.Namespace(**vars(args))
+        fold_args.cv_fold = fold
+        print(f"\n===== Fold {fold} =====")
+        rc |= cmd_train(fold_args)
+    return rc
+
+
+def cmd_bench(args) -> int:
+    from . import benchmarks
+
+    result = benchmarks.run_train_bench(
+        batch_size=args.batch_size_bench,
+        steps=args.steps,
+        img_height=args.img_height,
+        compute_dtype=args.compute_dtype,
+    )
+    import json
+
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser(
+        "cova", description="CoVA-TPU: context-aware webpage object detection"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name, fn in [
+        ("train", cmd_train),
+        ("eval", cmd_eval),
+        ("visualize", cmd_visualize),
+        ("sweep", cmd_sweep),
+    ]:
+        p = sub.add_parser(name)
+        _add_common_flags(p)
+        p.set_defaults(fn=fn)
+    sub.choices["visualize"].add_argument("--no_render", action="store_true")
+    sub.choices["visualize"].add_argument("--max_pages", type=int, default=None)
+    sub.choices["sweep"].add_argument(
+        "--folds", type=int, nargs="+", default=[1, 2, 3, 4, 5]
+    )
+
+    b = sub.add_parser("bench")
+    _add_common_flags(b)
+    b.add_argument("--steps", type=int, default=20)
+    b.add_argument("--batch_size_bench", type=int, default=8)
+    b.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 from PIL import Image
 
+from . import native_loader
 from .records import PageRecord
 
 
@@ -29,23 +30,36 @@ def _load_csv(path: str) -> np.ndarray:
 
 class WebDataset:
     """Eagerly loads all bbox (and optional additional-feature) CSVs;
-    decodes screenshots lazily per access (``datasets.py:49-78``)."""
+    decodes screenshots lazily per access (``datasets.py:49-78``).
+
+    When the native runtime is built (``make -C native``) and ``img_size``
+    is known, PNG decode and CSV parsing go through libpng/C instead of
+    PIL/numpy (same outputs, measured in tests).
+    """
 
     def __init__(
         self,
         root: str,
         page_ids: Sequence[str],
         use_additional_feats: bool = False,
+        img_size: Optional[int] = None,
+        use_native: bool = True,
     ):
         self.root = root
         self.ids: List[str] = [str(i) for i in page_ids]
+        self.img_size = img_size
+        self.use_native = use_native and native_loader.available()
         self.img_paths = [
             os.path.join(root, "imgs", f"{i}.png") for i in self.ids
         ]
         self.all_boxes: List[np.ndarray] = []
         self.all_labels: List[np.ndarray] = []
         for i in self.ids:
-            rows = _load_csv(os.path.join(root, "bboxes", f"{i}.csv"))
+            path = os.path.join(root, "bboxes", f"{i}.csv")
+            if self.use_native:
+                rows = native_loader.parse_bbox_csv(path)
+            else:
+                rows = _load_csv(path)
             self.all_boxes.append(rows[:, :4].astype(np.float32))
             self.all_labels.append(rows[:, 4].astype(np.int32))
         self.all_additional: List[Optional[np.ndarray]] = []
@@ -75,6 +89,10 @@ class WebDataset:
 
     def image(self, index: int) -> np.ndarray:
         """Decode the screenshot to uint8 [H, W, 3]."""
+        if self.use_native and self.img_size is not None:
+            return native_loader.decode_png(
+                self.img_paths[index], self.img_size, self.img_size
+            )
         with Image.open(self.img_paths[index]) as im:
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
 

@@ -1,0 +1,179 @@
+"""Port PyTorch state dicts (torchvision ResNet / reference CoVA checkpoints)
+into this framework's Flax parameter trees.
+
+Two use cases:
+  * ``port_resnet18_stem``: load ImageNet-pretrained torchvision ResNet-18
+    weights into the truncated backbone — the reference initializes from
+    ``resnet18(pretrained=True)`` (``/root/reference/models.py:49-51``); this
+    environment has no network egress, so porting happens from a
+    ``state_dict`` file when the user supplies one.
+  * ``port_cova_state_dict``: convert a full trained reference checkpoint
+    (``torch.save(model.state_dict())``, ``train.py:84``) so reference
+    models can be *served* from this framework without retraining.
+
+Layout conversions: torch conv [O, I, kh, kw] -> flax [kh, kw, I, O]; torch
+linear [O, I] -> flax [I, O]; BatchNorm weight/bias/running_mean/running_var
+-> scale/bias + batch_stats mean/var.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / array -> float32 numpy (no torch import required)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv(sd, key) -> np.ndarray:
+    return _t(sd[key]).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _linear(sd, key) -> np.ndarray:
+    return _t(sd[key]).T  # [O, I] -> [I, O]
+
+
+def _bn(sd, prefix) -> Tuple[Dict, Dict]:
+    params = {"scale": _t(sd[f"{prefix}.weight"]),
+              "bias": _t(sd[f"{prefix}.bias"])}
+    stats = {"mean": _t(sd[f"{prefix}.running_mean"]),
+             "var": _t(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def _backbone_trees(
+    sd: Mapping[str, Any], conv1: str, bn1: str, layer1: str
+) -> Tuple[Dict, Dict]:
+    """Build (params, batch_stats) for the truncated stem given torch key
+    prefixes. torchvision uses conv1/bn1/layer1.{0,1}; the reference's
+    ``nn.Sequential(children()[:-5])`` renames them convnet.0/1/4.{0,1}."""
+    params: Dict[str, Any] = {"Conv_0": {"kernel": _conv(sd, f"{conv1}.weight")}}
+    stats: Dict[str, Any] = {}
+    p, s = _bn(sd, bn1)
+    params["BatchNorm_0"] = {"BatchNorm_0": p}
+    stats["BatchNorm_0"] = {"BatchNorm_0": s}
+    for blk in (0, 1):
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        for ci, (cname, bname) in enumerate(
+            [("conv1", "bn1"), ("conv2", "bn2")]
+        ):
+            bp[f"Conv_{ci}"] = {
+                "kernel": _conv(sd, f"{layer1}.{blk}.{cname}.weight")
+            }
+            p, s = _bn(sd, f"{layer1}.{blk}.{bname}")
+            bp[f"BatchNorm_{ci}"] = {"BatchNorm_0": p}
+            bs[f"BatchNorm_{ci}"] = {"BatchNorm_0": s}
+        params[f"BasicBlock_{blk}"] = bp
+        stats[f"BasicBlock_{blk}"] = bs
+    return params, stats
+
+
+def port_resnet18_stem(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """torchvision resnet18 state_dict -> (backbone params, batch_stats)."""
+    return _backbone_trees(state_dict, "conv1", "bn1", "layer1")
+
+
+def _visual_row_perm(n_feat: int, roi: int = 3, channels: int = 64):
+    """Row permutation for weight matrices consuming the feature vector.
+
+    torch flattens RoI features channel-major ([C, r, r] -> c*r*r + i*r + j,
+    ``/root/reference/models.py:124-127`` via ``.view``); our TPU layout is
+    channel-minor ([r, r, C] -> i*r*C + j*C + c, the natural lane layout).
+    Returns an index array ``perm`` with ``W_ours[row] = W_torch[perm[row]]``
+    (identity outside the visual block).
+    """
+    n_vis = channels * roi * roi
+    perm = np.arange(n_feat)
+    for i in range(roi):
+        for j in range(roi):
+            for c in range(channels):
+                perm[i * roi * channels + j * channels + c] = (
+                    c * roi * roi + i * roi + j
+                )
+    assert (np.sort(perm[:n_vis]) == np.arange(n_vis)).all()
+    return perm
+
+
+def port_cova_state_dict(
+    state_dict: Mapping[str, Any],
+    use_context: bool = True,
+    bbox_hidden_dim: int = 32,
+    n_additional_feat: int = 0,
+    roi: int = 3,
+    backbone_channels: int = 64,
+) -> Tuple[Dict, Dict]:
+    """Reference CoVA state_dict -> (params, batch_stats) for our CoVA.
+
+    Reference module names (models.py:48-90): convnet.{0,1,4}, the latter a
+    Sequential of two BasicBlocks; bbox_feat_encoder.{0 Linear,1 BN};
+    gat.{W_i,W_j,attention_layer}; decoder.{1 Linear,2 BN,5 Linear}.
+    """
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["convnet"], stats["convnet"] = _backbone_trees(
+        sd, "convnet.0", "convnet.1", "convnet.4"
+    )
+
+    if bbox_hidden_dim > 0:
+        params["bbox_linear"] = {
+            "Dense_0": {
+                "kernel": _linear(sd, "bbox_feat_encoder.0.weight"),
+                "bias": _t(sd["bbox_feat_encoder.0.bias"]),
+            }
+        }
+        p, s = _bn(sd, "bbox_feat_encoder.1")
+        params["bbox_bn"] = p
+        stats["bbox_bn"] = s
+
+    if n_additional_feat > 0:
+        p, s = _bn(sd, "bn_additional_feat")
+        params["additional_bn"] = p
+        stats["additional_bn"] = s
+
+    n_vis = backbone_channels * roi * roi
+    n_feat = n_vis + bbox_hidden_dim + n_additional_feat
+    perm = _visual_row_perm(n_feat, roi, backbone_channels)
+
+    if use_context:
+        params["gat"] = {
+            "W_i": {"kernel": _linear(sd, "gat.W_i.weight")[perm]},
+            "W_j": {"kernel": _linear(sd, "gat.W_j.weight")[perm]},
+            "att_w": _linear(sd, "gat.attention_layer.weight"),
+            "att_b": _t(sd["gat.attention_layer.bias"]),
+        }
+
+    dec_kernel = _linear(sd, "decoder.1.weight")
+    dec_perm = np.concatenate(
+        [perm, np.arange(n_feat, dec_kernel.shape[0])]
+    )  # visual rows permuted; bbox/additional/context rows untouched
+    params["decoder_hidden"] = {
+        "Dense_0": {
+            "kernel": dec_kernel[dec_perm],
+            "bias": _t(sd["decoder.1.bias"]),
+        }
+    }
+    p, s = _bn(sd, "decoder.2")
+    params["decoder_bn"] = p
+    stats["decoder_bn"] = s
+    params["decoder_out"] = {
+        "Dense_0": {
+            "kernel": _linear(sd, "decoder.5.weight"),
+            "bias": _t(sd["decoder.5.bias"]),
+        }
+    }
+    return params, stats
+
+
+def load_torch_file(path: str) -> Mapping[str, Any]:
+    """Load a ``.pth`` state_dict (requires torch, CPU map)."""
+    import torch
+
+    return torch.load(path, map_location="cpu")

@@ -1,0 +1,224 @@
+// cova_native: native host runtime for the CoVA-TPU input pipeline.
+//
+// The reference's data loading leans on native code inside its Python deps
+// (PIL's zlib/PNG decoder, torch DataLoader worker processes —
+// /root/reference/datasets.py:96-97,227-258). This library provides the
+// TPU framework's native equivalent: a libpng-based screenshot decoder and a
+// bbox-CSV parser, both runnable across a pthread pool so batch assembly
+// saturates host cores without Python in the loop. Exposed to Python via
+// ctypes (cova_tpu/data/native_loader.py).
+//
+// Build: make -C native   (produces libcova_native.so)
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <png.h>
+#include <pthread.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PNG decode
+// ---------------------------------------------------------------------------
+
+// Decode one PNG to tightly-packed RGB8 [h, w, 3].
+// Images smaller than (h, w) are zero-padded bottom/right; larger ones are
+// cropped. Returns 0 on success, negative error codes otherwise.
+int cova_decode_png(const char* path, unsigned char* out, int h, int w) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return -1;
+
+  unsigned char header[8];
+  if (fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(fp);
+    return -2;
+  }
+
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return -3;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(fp);
+    return -3;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return -4;
+  }
+
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 img_w = png_get_image_width(png, info);
+  png_uint_32 img_h = png_get_image_height(png, info);
+  png_byte color_type = png_get_color_type(png, info);
+  png_byte bit_depth = png_get_bit_depth(png, info);
+
+  // Normalize every input format to 8-bit RGB.
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  size_t rowbytes = png_get_rowbytes(png, info);
+  png_bytep row = (png_bytep)malloc(rowbytes);
+  if (!row) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return -5;
+  }
+
+  memset(out, 0, (size_t)h * w * 3);
+  int copy_w = (int)img_w < w ? (int)img_w : w;
+  // libpng requires reading all rows in order; read and copy the ones in
+  // range. (Interlaced images would need the full-image path; web
+  // screenshots are non-interlaced — fail fast otherwise.)
+  if (png_get_interlace_type(png, info) != PNG_INTERLACE_NONE) {
+    free(row);
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return -6;
+  }
+  for (png_uint_32 y = 0; y < img_h; y++) {
+    png_read_row(png, row, nullptr);
+    if ((int)y < h) {
+      memcpy(out + (size_t)y * w * 3, row, (size_t)copy_w * 3);
+    }
+  }
+
+  free(row);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch decode
+// ---------------------------------------------------------------------------
+
+struct DecodeTask {
+  const char** paths;
+  unsigned char* out;
+  int n, h, w;
+  int next;          // next index to claim
+  int failures;      // count of failed decodes
+  pthread_mutex_t mu;
+};
+
+static void* decode_worker(void* arg) {
+  DecodeTask* t = (DecodeTask*)arg;
+  for (;;) {
+    pthread_mutex_lock(&t->mu);
+    int i = t->next++;
+    pthread_mutex_unlock(&t->mu);
+    if (i >= t->n) break;
+    int rc = cova_decode_png(t->paths[i], t->out + (size_t)i * t->h * t->w * 3,
+                             t->h, t->w);
+    if (rc != 0) {
+      pthread_mutex_lock(&t->mu);
+      t->failures++;
+      pthread_mutex_unlock(&t->mu);
+    }
+  }
+  return nullptr;
+}
+
+// Decode n PNGs into out (n contiguous [h, w, 3] slabs) using `nthreads`
+// worker threads. Returns the number of failed decodes (0 == all good).
+int cova_decode_png_batch(const char** paths, int n, unsigned char* out,
+                          int h, int w, int nthreads) {
+  if (n <= 0) return 0;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > n) nthreads = n;
+
+  DecodeTask task;
+  task.paths = paths;
+  task.out = out;
+  task.n = n;
+  task.h = h;
+  task.w = w;
+  task.next = 0;
+  task.failures = 0;
+  pthread_mutex_init(&task.mu, nullptr);
+
+  pthread_t threads[64];
+  if (nthreads > 64) nthreads = 64;
+  int spawned = 0;
+  for (; spawned < nthreads - 1; spawned++) {
+    if (pthread_create(&threads[spawned], nullptr, decode_worker, &task)) break;
+  }
+  decode_worker(&task);  // caller thread participates
+  for (int i = 0; i < spawned; i++) pthread_join(threads[i], nullptr);
+  pthread_mutex_destroy(&task.mu);
+  return task.failures;
+}
+
+// ---------------------------------------------------------------------------
+// BBox CSV parse: rows "x,y,w,h,label" with one header line.
+// ---------------------------------------------------------------------------
+
+// Parses up to max_rows rows of 5 floats into out. Returns the number of
+// rows parsed, or a negative error code.
+int cova_parse_bbox_csv(const char* path, float* out, int max_rows) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return -1;
+
+  // Slurp the file (bbox CSVs are a few KB).
+  fseek(fp, 0, SEEK_END);
+  long size = ftell(fp);
+  fseek(fp, 0, SEEK_SET);
+  char* buf = (char*)malloc(size + 1);
+  if (!buf) {
+    fclose(fp);
+    return -2;
+  }
+  size_t got = fread(buf, 1, size, fp);
+  fclose(fp);
+  buf[got] = '\0';
+
+  char* p = strchr(buf, '\n');  // skip header
+  if (!p) {
+    free(buf);
+    return 0;
+  }
+  p++;
+
+  int rows = 0;
+  while (*p && rows < max_rows) {
+    char* end = p;
+    int ok = 1;
+    for (int c = 0; c < 5; c++) {
+      out[rows * 5 + c] = strtof(p, &end);
+      if (end == p) {
+        ok = 0;
+        break;
+      }
+      p = end;
+      if (c < 4) {
+        while (*p == ',' || *p == ' ') p++;
+      }
+    }
+    if (!ok) break;
+    rows++;
+    while (*p && *p != '\n') p++;
+    if (*p == '\n') p++;
+  }
+  free(buf);
+  return rows;
+}
+
+}  // extern "C"

@@ -1,0 +1,89 @@
+"""Native runtime (libpng decode + CSV parse) vs the PIL/numpy oracles."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cova_tpu.data import native_loader
+from cova_tpu.data.dataset import WebDataset, _load_csv
+from cova_tpu.data.synthetic import materialize
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.ensure_built(),
+    reason="native library not built and no toolchain",
+)
+
+
+@pytest.fixture(scope="module")
+def disk_ds(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("native_data"))
+    ids = materialize(out, n_pages=4, img_h=48, seed=3, min_boxes=5,
+                      max_boxes=12)
+    return out, ids
+
+
+def test_decode_matches_pil(disk_ds):
+    from PIL import Image
+
+    root, ids = disk_ds
+    for i in ids:
+        path = os.path.join(root, "imgs", f"{i}.png")
+        want = np.asarray(Image.open(path).convert("RGB"))
+        got = native_loader.decode_png(path, 48, 48)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_batch_threaded(disk_ds):
+    from PIL import Image
+
+    root, ids = disk_ds
+    paths = [os.path.join(root, "imgs", f"{i}.png") for i in ids]
+    got = native_loader.decode_png_batch(paths, 48, 48, nthreads=3)
+    for k, p in enumerate(paths):
+        want = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(got[k], want)
+
+
+def test_decode_pads_and_crops(disk_ds):
+    from PIL import Image
+
+    root, ids = disk_ds
+    path = os.path.join(root, "imgs", f"{ids[0]}.png")
+    want = np.asarray(Image.open(path).convert("RGB"))
+    bigger = native_loader.decode_png(path, 64, 64)
+    np.testing.assert_array_equal(bigger[:48, :48], want)
+    assert (bigger[48:] == 0).all() and (bigger[:, 48:] == 0).all()
+    smaller = native_loader.decode_png(path, 32, 32)
+    np.testing.assert_array_equal(smaller, want[:32, :32])
+
+
+def test_csv_matches_numpy(disk_ds):
+    root, ids = disk_ds
+    for i in ids:
+        path = os.path.join(root, "bboxes", f"{i}.csv")
+        want = _load_csv(path)
+        got = native_loader.parse_bbox_csv(path)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_missing_file_errors():
+    with pytest.raises(IOError):
+        native_loader.decode_png("/nonexistent/x.png", 8, 8)
+    with pytest.raises(IOError):
+        native_loader.parse_bbox_csv("/nonexistent/x.csv")
+
+
+def test_webdataset_native_path(disk_ds):
+    root, ids = disk_ds
+    ds_native = WebDataset(root, ids, img_size=48, use_native=True)
+    ds_py = WebDataset(root, ids, use_native=False)
+    assert ds_native.use_native
+    for k in range(len(ids)):
+        np.testing.assert_allclose(
+            ds_native.all_boxes[k], ds_py.all_boxes[k]
+        )
+        np.testing.assert_array_equal(
+            ds_native.all_labels[k], ds_py.all_labels[k]
+        )
+        np.testing.assert_array_equal(ds_native.image(k), ds_py.image(k))
