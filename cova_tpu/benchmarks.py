@@ -1,0 +1,96 @@
+"""Throughput benchmarks: flagship train step, pages/sec/chip.
+
+The reference publishes no speed numbers (SURVEY.md §6); the measured
+PyTorch-CPU anchor lives in ``baseline_torch.json`` (produced by
+``scripts/bench_torch_baseline.py``) and ``vs_baseline`` is computed against
+it. Measurement notes:
+
+  * steps are timed with the batch pre-staged on device: the metric is the
+    compute path (train fwd+bwd+update), matching the baseline measurement;
+  * through the remote-TPU tunnel ``block_until_ready`` does not actually
+    block, so every timed window ends with a scalar fetch, and several
+    windows are taken with the best kept (dispatch noise is additive).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def run_train_bench(
+    batch_size: int = 8,
+    steps: int = 20,
+    img_height: int = 1280,
+    compute_dtype: str = "bfloat16",
+    windows: int = 3,
+):
+    import jax
+
+    from .config import Config
+    from .data.batching import collate
+    from .data.records import pad_page
+    from .data.synthetic import synth_image, synth_record
+    from .models.cova import build_model
+    from .train.steps import create_train_state, train_step
+
+    cfg = Config(
+        batch_size=batch_size,
+        img_height=img_height,
+        compute_dtype=compute_dtype,
+    )
+    model = build_model(cfg)
+
+    imgs, pages = [], []
+    for i in range(batch_size):
+        rng = np.random.default_rng((7, i))
+        rec = synth_record(str(i), img_height, rng, min_boxes=60,
+                           max_boxes=min(120, cfg.max_boxes))
+        imgs.append(synth_image(rec, img_height, rng))
+        pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size))
+    batch = jax.device_put(collate(imgs, pages))
+
+    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
+    rng_step = jax.random.PRNGKey(1)
+
+    # Warm up (compile + first steps).
+    state, met = train_step(state, batch, rng_step)
+    _ = float(met["loss_sum"])
+
+    best_dt = float("inf")
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(steps):
+            state, met = train_step(state, batch, rng_step)
+        _ = float(met["loss_sum"])  # force full sync through the tunnel
+        best_dt = min(best_dt, (time.time() - t0) / steps)
+
+    pages_per_sec = batch_size / best_dt
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "baseline_torch.json",
+    )
+    vs_baseline = None
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = pages_per_sec / base["value"]
+
+    return {
+        "metric": "train_webpages_per_sec_per_chip",
+        "value": round(pages_per_sec, 2),
+        "unit": "pages/s",
+        "vs_baseline": (
+            round(vs_baseline, 1) if vs_baseline is not None else None
+        ),
+        "step_ms": round(best_dt * 1000, 2),
+        "batch_size": batch_size,
+        "img_height": img_height,
+        "compute_dtype": compute_dtype,
+        "device": str(jax.devices()[0]),
+    }

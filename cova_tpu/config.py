@@ -104,12 +104,20 @@ class Config:
     @property
     def feature_stride(self) -> int:
         """Backbone output stride. Static (reference derives it with a dummy
-        forward, models.py:53-56; ours is stride 4 by construction)."""
-        return 4
+        forward, models.py:53-56; ours is known by construction)."""
+        n_stages = 4 if not self.backbone.endswith("_stem") else 1
+        return 4 * (2 ** (n_stages - 1))
+
+    @property
+    def backbone_channels(self) -> int:
+        base = 64 if self.backbone.endswith("_stem") else 512
+        if self.backbone.startswith("resnet50"):
+            base *= 4  # bottleneck expansion
+        return base
 
     @property
     def n_visual_feat(self) -> int:
-        return 64 * self.roi * self.roi  # 64-ch feature map (models.py:60-62)
+        return self.backbone_channels * self.roi * self.roi
 
     @property
     def n_feat(self) -> int:

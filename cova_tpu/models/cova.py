@@ -27,7 +27,10 @@ from typing import Any, NamedTuple, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from ..ops.roi_pool import roi_pool
+from ..ops.roi_pool_pallas import roi_pool_pallas
 from .gat import GraphAttention
 from .layers import MaskedBatchNorm, TorchLinear
 from .resnet import make_backbone
@@ -47,6 +50,7 @@ class CoVA(nn.Module):
     drop_prob: float = 0.2
     roi_output_size: int = 3
     backbone: str = "resnet18_stem"
+    roi_impl: str = "auto"  # auto | pallas | xla
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -72,9 +76,7 @@ class CoVA(nn.Module):
                 self.n_additional_feat, dtype=self.compute_dtype
             )
         self.dropout = nn.Dropout(self.drop_prob)
-        n_visual = 64 * self.roi_output_size**2
-        if self.backbone in ("resnet50_stem",):
-            n_visual *= 4  # bottleneck stems emit 256 channels
+        n_visual = self.convnet.output_channels * self.roi_output_size**2
         n_feat = n_visual + max(self.bbox_hidden_dim, 0) + self.n_additional_feat
         n_total = n_feat + (self.hidden_dim if self.use_context else 0)
         self.decoder_hidden = TorchLinear(
@@ -89,18 +91,31 @@ class CoVA(nn.Module):
             param_dtype=self.param_dtype,
         )
 
-    def visual_features(self, images_u8, boxes, train: bool):
+    def visual_features(self, images_u8, boxes, box_mask, train: bool):
         """images_u8: [B, H, W, 3] uint8; boxes: [B, P, 4]. -> [B, P, V]."""
         x = images_u8.astype(self.compute_dtype) / 255.0  # ToTensor parity
         fm = self.convnet(x, train=train)  # [B, H/4, W/4, C]
         stride = images_u8.shape[1] // fm.shape[1]
-        pooled = roi_pool(
-            fm,
-            boxes.astype(jnp.float32),
-            spatial_scale=1.0 / stride,
-            out_h=self.roi_output_size,
-            out_w=self.roi_output_size,
-        )  # [B, P, r, r, C]
+        impl = self.roi_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            pooled = roi_pool_pallas(
+                fm,
+                boxes.astype(jnp.float32),
+                box_mask,
+                1.0 / stride,
+                self.roi_output_size,
+                self.roi_output_size,
+            )
+        else:
+            pooled = roi_pool(
+                fm,
+                boxes.astype(jnp.float32),
+                spatial_scale=1.0 / stride,
+                out_h=self.roi_output_size,
+                out_w=self.roi_output_size,
+            )  # [B, P, r, r, C]
         b, p = pooled.shape[:2]
         return pooled.reshape(b, p, -1)
 
@@ -131,7 +146,7 @@ class CoVA(nn.Module):
         train: bool = False,
     ) -> CoVAOutput:
         parts = [
-            self.visual_features(images_u8, boxes, train),
+            self.visual_features(images_u8, boxes, box_mask, train),
             self.bbox_features(boxes, box_mask, train),
         ]
         if self.n_additional_feat > 0:

@@ -21,7 +21,31 @@ from typing import Any, Callable, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv_stem import stem_conv, stem_conv_reference
+
 Conv = partial(nn.Conv, use_bias=False, kernel_init=nn.initializers.he_normal())
+
+
+class StemConv(nn.Module):
+    """7x7/2 RGB conv through the MXU-shaped space-to-depth formulation
+    (``ops/conv_stem.py``). Parameter path/shape (``kernel`` [7, 7, 3, F])
+    matches ``nn.Conv`` so checkpoints and torch ports are layout-stable."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (7, 7, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype or x.dtype)
+        if x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            return stem_conv(x, kernel)
+        return stem_conv_reference(x, kernel)
 
 
 class BatchNorm(nn.Module):
@@ -119,9 +143,7 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         # Stem: 7x7/2 conv, bn, relu, 3x3/2 maxpool (models.py:49-51 keeps
         # exactly conv1, bn1, relu, maxpool from torchvision's children()).
-        x = Conv(
-            64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], dtype=self.dtype
-        )(x)
+        x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
         x = BatchNorm(self.dtype)(x, train)
         x = nn.relu(x)
         x = nn.max_pool(

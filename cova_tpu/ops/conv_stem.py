@@ -1,0 +1,111 @@
+"""MXU-shaped stem convolution: 7x7 stride-2 over RGB via space-to-depth.
+
+Why: XLA pads a convolution's input-channel contraction to the 128-wide MXU
+lane tile, so the stem conv (3 input channels, inherited from torchvision's
+conv1 — ``/root/reference/models.py:49-51``) runs at ~4 TFLOP/s on a chip
+that measures ~144 TFLOP/s on matmuls; at 1280x1280 it is the hottest op in
+the model.
+
+Reformulation (exact, tested against ``lax.conv_general_dilated``):
+
+    input  [B, H, W, 3]   -> s2d(4) -> [B, H/4, W/4, 48]
+    output [B, H/2, W/2, O] <- un-s2d(2) <- [B, H/4, W/4, 4*O]
+
+    conv7x7/2  ==  conv3x3/1 on the s2d(4) domain with a sparse
+                   [3, 3, 48, 4*O] kernel built from the dense 7x7 taps.
+
+The contraction deepens from 3 to 48x9=432 (=> ~1.2x lane padding instead
+of ~42x) and both channel dims land on full MXU tiles. The tap scatter is a
+static gather (``k4 = k7_flat[INDEX]``), so autodiff gives the correct
+7x7-kernel gradient for free (scatter-add back through the gather).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import einops
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F = 4  # input space-to-depth factor
+_G = 2  # output space-to-depth factor (= input stride)
+
+
+@functools.lru_cache(maxsize=None)
+def _tap_index(kh: int, kw: int, cin: int, pad: int):
+    """Gather map from flat [kh*kw*cin + 1] (last = zero) to
+    [3, 3, F*F*cin, G*G] positions, plus the conv padding to use.
+
+    For output position y = G*u' + ey (ey < G) and tap t = ky - pad:
+    input row y_in = G*y + t' .. here stride==G: y_in = G*(G*u'+ey)/...:
+    y_in = 2*(2u'+ey) + (ky - pad) = 4u' + (2*ey + ky - pad), so the s2d(4)
+    block offset is s = 2*ey + ky - pad with block index floor(s/4) in
+    {-1, 0, 1} and intra-block offset s mod 4.
+    """
+    smin = 0 * 2 + 0 - pad
+    smax = 2 * (_G - 1) + (kh - 1) - pad
+    dmin = smin // _F
+    dmax = smax // _F
+    assert (dmin, dmax) == (-1, 1), (dmin, dmax)
+
+    idx = np.full((3, 3, _F * _F * cin, _G * _G), kh * kw * cin, np.int32)
+    for ey in range(_G):
+        for ex in range(_G):
+            for ky in range(kh):
+                for kx in range(kw):
+                    sy = 2 * ey + ky - pad
+                    sx = 2 * ex + kx - pad
+                    du, dy = sy // _F + 1, sy % _F
+                    dv, dx = sx // _F + 1, sx % _F
+                    for c in range(cin):
+                        cin_flat = (dy * _F + dx) * cin + c
+                        cout_s2d = ey * _G + ex
+                        idx[du, dv, cin_flat, cout_s2d] = (
+                            ky * kw + kx
+                        ) * cin + c
+    return idx
+
+
+def stem_conv(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
+    """7x7 stride-2 pad-3 conv, NHWC. x: [B, H, W, 3] (H, W % 4 == 0);
+    k7: [7, 7, 3, O]. Returns [B, H/2, W/2, O] in x.dtype."""
+    b, h, w, cin = x.shape
+    kh, kw, _, o = k7.shape
+    pad = kh // 2
+
+    xs = einops.rearrange(
+        x, "b (u dy) (v dx) c -> b u v (dy dx c)", dy=_F, dx=_F
+    )  # [B, H/4, W/4, 48]
+
+    idx = jnp.asarray(_tap_index(kh, kw, cin, pad))
+    k_flat = jnp.concatenate(
+        [k7.reshape(kh * kw * cin, o), jnp.zeros((1, o), k7.dtype)], axis=0
+    )
+    k4 = k_flat[idx]  # [3, 3, 48, 4, O] via trailing broadcast
+    k4 = k4.reshape(3, 3, _F * _F * cin, _G * _G * o).astype(x.dtype)
+
+    ys = jax.lax.conv_general_dilated(
+        xs,
+        k4,
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )  # [B, H/4, W/4, 4*O]
+    return einops.rearrange(
+        ys, "b u v (ey ex o) -> b (u ey) (v ex) o", ey=_G, ex=_G
+    )
+
+
+def stem_conv_reference(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
+    """Direct XLA formulation (oracle for tests; slow on TPU)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        k7.astype(x.dtype),
+        window_strides=(2, 2),
+        padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )

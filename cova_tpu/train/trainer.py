@@ -179,4 +179,14 @@ def fit(
     print("Model Trained! Restoring model to best Eval performance checkpoint...")
     if ckpt.exists("best"):
         state, _ = restore_train_state(ckpt, "best", state)
+    else:
+        # Degenerate case: val accuracy never exceeded 0.0, so no "best" was
+        # written (the reference would NameError here, train.py:83-86). Save
+        # the final state so downstream eval/visualize always have a model.
+        save_train_state(
+            ckpt, "best", state,
+            {"epoch": np.int32(cfg.n_epochs),
+             "best_eval_acc": np.float64(best_eval_acc),
+             "patience": np.int32(patience_count)},
+        )
     return state, best_eval_acc

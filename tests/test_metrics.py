@@ -1,0 +1,90 @@
+"""Eval metric: vectorized retrieval-style top-1 vs a loop oracle that
+transcribes the reference scoring (train.py:131-154)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cova_tpu.train.steps import masked_ce_sum, retrieval_metric
+
+
+def oracle_metric(logits, labels, mask, n_classes=4):
+    B = logits.shape[0]
+    correct = np.zeros((B, n_classes - 1), bool)
+    present = np.zeros((B, n_classes - 1), bool)
+    for b in range(B):
+        idx = np.where(mask[b])[0]
+        lg = logits[b][idx]
+        lb = labels[b][idx]
+        for c in range(1, n_classes):
+            where_c = np.where(lb == c)[0]
+            present[b, c - 1] = len(where_c) > 0
+            if not len(where_c):
+                continue
+            true_local = where_c[0]
+            pred_local = int(np.argmax(lg[:, c]))
+            correct[b, c - 1] = pred_local == true_local
+    return correct, present
+
+
+def test_matches_oracle(rng):
+    B, P, C = 4, 20, 4
+    logits = rng.normal(size=(B, P, C)).astype(np.float32)
+    labels = np.zeros((B, P), np.int32)
+    mask = np.zeros((B, P), bool)
+    for b in range(B):
+        n = rng.integers(6, P)
+        mask[b, :n] = True
+        pos = rng.choice(n, 3, replace=False)
+        labels[b, pos] = [1, 2, 3]
+    got_c, got_p = retrieval_metric(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask), C
+    )
+    want_c, want_p = oracle_metric(logits, labels, mask, C)
+    np.testing.assert_array_equal(np.asarray(got_c), want_c)
+    np.testing.assert_array_equal(np.asarray(got_p), want_p)
+
+
+def test_padding_cannot_win(rng):
+    """A padded box with a huge logit must not beat real boxes."""
+    logits = np.zeros((1, 5, 4), np.float32)
+    logits[0, 4, 1] = 100.0  # padded box
+    logits[0, 1, 1] = 1.0  # real class-1 box
+    labels = np.array([[0, 1, 2, 3, 0]], np.int32)
+    mask = np.array([[True, True, True, True, False]])
+    c, p = retrieval_metric(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask), 4
+    )
+    assert bool(np.asarray(c)[0, 0])
+
+
+def test_absent_class_is_incorrect(rng):
+    logits = rng.normal(size=(1, 4, 4)).astype(np.float32)
+    labels = np.array([[0, 1, 0, 0]], np.int32)  # no class 2 or 3
+    mask = np.ones((1, 4), bool)
+    c, p = retrieval_metric(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask), 4
+    )
+    assert not np.asarray(p)[0, 1] and not np.asarray(p)[0, 2]
+    assert not np.asarray(c)[0, 1] and not np.asarray(c)[0, 2]
+
+
+def test_masked_ce_sum_matches_torch(rng):
+    import torch
+
+    B, P, C = 2, 7, 4
+    logits = rng.normal(size=(B, P, C)).astype(np.float32)
+    labels = rng.integers(0, C, (B, P)).astype(np.int32)
+    mask = rng.random((B, P)) > 0.3
+    got = float(
+        masked_ce_sum(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask)
+        )
+    )
+    crit = torch.nn.CrossEntropyLoss(reduction="sum")
+    want = float(
+        crit(
+            torch.from_numpy(logits[mask]),
+            torch.from_numpy(labels[mask]).long(),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -1,0 +1,90 @@
+"""Host input pipeline: shapes, determinism, sharding, disk round-trip."""
+
+import numpy as np
+import pytest
+
+from cova_tpu.data.batching import pad_batch
+from cova_tpu.data.dataset import WebDataset
+from cova_tpu.data.pipeline import DataPipeline
+from cova_tpu.data.synthetic import InMemoryWebDataset, materialize
+
+
+@pytest.fixture(scope="module")
+def mem_ds():
+    return InMemoryWebDataset(
+        n_pages=9, img_h=32, seed=1, min_boxes=5, max_boxes=12
+    )
+
+
+def _pipe(ds, **kw):
+    args = dict(
+        batch_size=4, pad_boxes=16, context_size=3, seed=0, num_threads=2
+    )
+    args.update(kw)
+    return DataPipeline(ds, **args)
+
+
+def test_shapes_and_masks(mem_ds):
+    p = _pipe(mem_ds)
+    ids, batch = next(iter(p.epoch(0)))
+    assert batch.images.shape == (4, 32, 32, 3)
+    assert batch.images.dtype == np.uint8
+    assert batch.boxes.shape == (4, 16, 4)
+    assert batch.context_indices.shape == (4, 16, 6)
+    assert batch.box_mask.sum(axis=1).min() >= 5
+    assert len(ids) == 4
+
+
+def test_partial_last_batch_and_padding(mem_ds):
+    p = _pipe(mem_ds)
+    batches = list(p.epoch(0))
+    assert len(batches) == 3  # 9 pages / 4
+    last_ids, last = batches[-1]
+    assert last.batch_size == 1
+    padded, page_mask = pad_batch(last, 4)
+    assert padded.batch_size == 4
+    assert page_mask.tolist() == [True, False, False, False]
+    assert not padded.box_mask[1:].any()
+
+
+def test_epoch_determinism_and_reshuffle(mem_ds):
+    p = _pipe(mem_ds, shuffle=True, sampling_fraction=0.7)
+    ids_a = [i for ids, _ in p.epoch(3) for i in ids]
+    ids_b = [i for ids, _ in p.epoch(3) for i in ids]
+    ids_c = [i for ids, _ in p.epoch(4) for i in ids]
+    assert ids_a == ids_b  # same epoch -> same order and sampling
+    assert ids_a != ids_c  # different epoch -> reshuffled
+
+    batch_a = next(iter(p.epoch(3)))[1]
+    batch_b = next(iter(p.epoch(3)))[1]
+    np.testing.assert_array_equal(batch_a.box_mask, batch_b.box_mask)
+    np.testing.assert_array_equal(batch_a.boxes, batch_b.boxes)
+
+
+def test_host_sharding(mem_ds):
+    shards = []
+    for idx in range(3):
+        p = _pipe(mem_ds, shard_index=idx, shard_count=3)
+        shards.append([i for ids, _ in p.epoch(0) for i in ids])
+    flat = sorted(sum(shards, []))
+    assert flat == sorted(mem_ds.ids)  # disjoint cover
+    assert all(len(s) == 3 for s in shards)
+
+
+def test_disk_roundtrip(tmp_path):
+    root = str(tmp_path)
+    ids = materialize(root, 5, 32, seed=2, min_boxes=4, max_boxes=9)
+    ds = WebDataset(root, ids)
+    p = _pipe(ds, batch_size=2)
+    seen = 0
+    for ids_b, batch in p.epoch(0):
+        assert batch.images.shape[1:] == (32, 32, 3)
+        seen += batch.batch_size
+    assert seen == 5
+
+
+def test_val_pipeline_never_samples(mem_ds):
+    p1 = _pipe(mem_ds, sampling_fraction=1.0)
+    n1 = next(iter(p1.epoch(0)))[1].box_mask.sum()
+    n2 = next(iter(p1.epoch(5)))[1].box_mask.sum()
+    assert n1 == n2

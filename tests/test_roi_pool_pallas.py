@@ -1,0 +1,99 @@
+"""Pallas RoIPool kernel (interpret mode on CPU) vs the numpy oracle and
+the XLA implementation, forward and backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cova_tpu.ops.roi_pool import roi_pool, roi_pool_reference
+from cova_tpu.ops.roi_pool_pallas import roi_pool_pallas
+
+
+def _case(rng, B=2, H=16, W=16, C=8, P=10, img=64):
+    fm = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    x1 = rng.uniform(0, img - 4, (B, P))
+    y1 = rng.uniform(0, img - 4, (B, P))
+    x2 = x1 + rng.uniform(0.5, img - x1)
+    y2 = y1 + rng.uniform(0.5, img - y1)
+    boxes = np.stack([x1, y1, x2, y2], -1).astype(np.float32)
+    mask = np.ones((B, P), bool)
+    return fm, boxes, mask
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_forward_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    fm, boxes, mask = _case(rng)
+    got = np.asarray(
+        roi_pool_pallas(
+            jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask),
+            0.25, 3, 3, True,
+        )
+    )
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_masked_boxes_are_zero_and_cheap():
+    rng = np.random.default_rng(2)
+    fm, boxes, mask = _case(rng)
+    mask[:, 5:] = False
+    got = np.asarray(
+        roi_pool_pallas(
+            jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask),
+            0.25, 3, 3, True,
+        )
+    )
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got[:, :5], want[:, :5], rtol=1e-6)
+    assert (got[:, 5:] == 0).all()
+
+
+def test_odd_channel_count_uses_smaller_blocks():
+    rng = np.random.default_rng(3)
+    fm, boxes, mask = _case(rng, C=4)
+    got = np.asarray(
+        roi_pool_pallas(
+            jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask),
+            0.25, 3, 3, True,
+        )
+    )
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_backward_matches_xla_grad():
+    rng = np.random.default_rng(4)
+    fm, boxes, mask = _case(rng, B=1, P=6)
+    fmj, bj, mj = jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask)
+    g = rng.normal(size=(1, 6, 3, 3, 8)).astype(np.float32)
+    gj = jnp.asarray(g)
+
+    def loss_pallas(f):
+        return jnp.sum(roi_pool_pallas(f, bj, mj, 0.25, 3, 3, True) * gj)
+
+    def loss_xla(f):
+        return jnp.sum(roi_pool(f, bj, spatial_scale=0.25) * gj)
+
+    d_pallas = np.asarray(jax.grad(loss_pallas)(fmj))
+    d_xla = np.asarray(jax.grad(loss_xla)(fmj))
+    # XLA's max-grad splits evenly among ties; the kernel gives each tie the
+    # full cotangent; random f32 maps have no ties, so they must agree.
+    np.testing.assert_allclose(d_pallas, d_xla, rtol=1e-5, atol=1e-6)
+
+
+def test_backward_sums_to_upstream():
+    """Every output cell's gradient lands on exactly one fm cell (no ties):
+    total mass is conserved per non-empty bin."""
+    rng = np.random.default_rng(5)
+    fm, boxes, mask = _case(rng, B=1, P=4)
+    fmj, bj, mj = jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask)
+
+    def loss(f):
+        return jnp.sum(roi_pool_pallas(f, bj, mj, 0.25, 3, 3, True))
+
+    d = np.asarray(jax.grad(loss)(fmj))
+    pooled = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    nonempty = (np.abs(pooled) > 0).sum()  # empty bins contribute 0
+    assert d.sum() == pytest.approx(nonempty, rel=1e-5)
