@@ -21,7 +21,12 @@ from typing import Any, Callable, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.conv_stem import stem_conv, stem_conv_reference
+from ..ops.conv_stem import (
+    stem_conv,
+    stem_conv_reference,
+    stem_conv_s2d,
+    stem_pool_s2d,
+)
 
 Conv = partial(nn.Conv, use_bias=False, kernel_init=nn.initializers.he_normal())
 
@@ -29,10 +34,16 @@ Conv = partial(nn.Conv, use_bias=False, kernel_init=nn.initializers.he_normal())
 class StemConv(nn.Module):
     """7x7/2 RGB conv through the MXU-shaped space-to-depth formulation
     (``ops/conv_stem.py``). Parameter path/shape (``kernel`` [7, 7, 3, F])
-    matches ``nn.Conv`` so checkpoints and torch ports are layout-stable."""
+    matches ``nn.Conv`` so checkpoints and torch ports are layout-stable.
+
+    With ``s2d_output=True`` the result stays in s2d(2) form
+    [B, H/4, W/4, 4*F] (channel order (ey, ex, f)) so BN/ReLU/maxpool can be
+    fused downstream without the un-s2d rearrange.
+    """
 
     features: int
     dtype: Any = None
+    s2d_output: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +55,10 @@ class StemConv(nn.Module):
         )
         x = x.astype(self.dtype or x.dtype)
         if x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            if self.s2d_output:
+                return stem_conv_s2d(x, kernel)
             return stem_conv(x, kernel)
+        assert not self.s2d_output
         return stem_conv_reference(x, kernel)
 
 
@@ -143,12 +157,26 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         # Stem: 7x7/2 conv, bn, relu, 3x3/2 maxpool (models.py:49-51 keeps
         # exactly conv1, bn1, relu, maxpool from torchvision's children()).
-        x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
-        x = BatchNorm(self.dtype)(x, train)
-        x = nn.relu(x)
-        x = nn.max_pool(
-            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
-        )
+        # Fast path: the conv's s2d(2) output feeds BN (grouped stats ==
+        # BatchNorm2d over the H/2 map exactly), ReLU, and the slice-max
+        # pool without ever materializing the H/2 x W/2 layout.
+        fused = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        if fused:
+            ys = StemConv(
+                64, dtype=self.dtype, s2d_output=True, name="Conv_0"
+            )(x)  # [B, U, V, 4*64]
+            b, u, v, c4 = ys.shape
+            grouped = ys.reshape(b, u, v * 4, 64)
+            grouped = BatchNorm(self.dtype)(grouped, train)
+            grouped = nn.relu(grouped)
+            x = stem_pool_s2d(grouped.reshape(b, u, v, c4))
+        else:
+            x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
+            x = BatchNorm(self.dtype)(x, train)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
         for stage in range(self.n_stages):
             filters = 64 * (2**stage)
             for block in range(self.stage_sizes[stage]):

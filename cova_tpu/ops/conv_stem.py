@@ -68,9 +68,12 @@ def _tap_index(kh: int, kw: int, cin: int, pad: int):
     return idx
 
 
-def stem_conv(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
-    """7x7 stride-2 pad-3 conv, NHWC. x: [B, H, W, 3] (H, W % 4 == 0);
-    k7: [7, 7, 3, O]. Returns [B, H/2, W/2, O] in x.dtype."""
+def stem_conv_s2d(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
+    """7x7 stride-2 pad-3 conv with the output left in s2d(2) form.
+
+    x: [B, H, W, 3] (H, W % 4 == 0); k7: [7, 7, 3, O].
+    Returns [B, H/4, W/4, 4*O], channel order (ey, ex, o).
+    """
     b, h, w, cin = x.shape
     kh, kw, _, o = k7.shape
     pad = kh // 2
@@ -86,7 +89,7 @@ def stem_conv(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
     k4 = k_flat[idx]  # [3, 3, 48, 4, O] via trailing broadcast
     k4 = k4.reshape(3, 3, _F * _F * cin, _G * _G * o).astype(x.dtype)
 
-    ys = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         xs,
         k4,
         window_strides=(1, 1),
@@ -94,9 +97,42 @@ def stem_conv(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )  # [B, H/4, W/4, 4*O]
+
+
+def stem_conv(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
+    """7x7 stride-2 pad-3 conv, NHWC. x: [B, H, W, 3] (H, W % 4 == 0);
+    k7: [7, 7, 3, O]. Returns [B, H/2, W/2, O] in x.dtype."""
+    ys = stem_conv_s2d(x, k7)
     return einops.rearrange(
         ys, "b u v (ey ex o) -> b (u ey) (v ex) o", ey=_G, ex=_G
     )
+
+
+def stem_pool_s2d(ys: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 max-pool applied directly to the stem conv's
+    s2d(2) output (post BN/ReLU, so values are >= 0 and zero-padding at the
+    top/left border cannot win a max).
+
+    ys: [B, U, V, 4*O] with channel order (ey, ex, o);
+    returns [B, U, V, O] — the stride-4, O-channel stem feature map.
+
+    Derivation: output row p pools input rows 2p-1, 2p, 2p+1, which live at
+    s2d blocks (p-1, ey=1), (p, ey=0), (p, ey=1); same for columns. Nine
+    unit-stride block-shifted slices, no reduce_window.
+    """
+    b, u, v, c4 = ys.shape
+    o = c4 // (_G * _G)
+    ys5 = ys.reshape(b, u, v, _G, _G, o)
+    padded = jnp.pad(ys5, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    taps_y = [(-1, 1), (0, 0), (0, 1)]  # (block shift du, parity ey)
+    out = None
+    for du, ey in taps_y:
+        for dv, ex in taps_y:
+            tap = padded[
+                :, du + 1 : du + 1 + u, dv + 1 : dv + 1 + v, ey, ex, :
+            ]
+            out = tap if out is None else jnp.maximum(out, tap)
+    return out
 
 
 def stem_conv_reference(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:

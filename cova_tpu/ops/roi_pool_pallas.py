@@ -41,7 +41,13 @@ _CHUNK = 8  # rows per masked-max step
 
 
 def _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w):
-    """Per-box bin bounds [B, P, out] int32; invalid boxes become empty."""
+    """Packed per-box bin bounds, [B, P * (2*out_h + 2*out_w)] int32.
+
+    Per-box layout: [ylo_0..ylo_oh, yhi_0.., xlo_0..xlo_ow, xhi_0..] —
+    packed flat because SMEM scalar-prefetch pads the minor dimension to a
+    full lane tile (a [B, P, 3] operand would occupy 128/3 x its size and
+    blow the 1 MB SMEM budget). Invalid boxes become empty bins.
+    """
     x1 = _quantize(boxes[..., 0], spatial_scale)
     y1 = _quantize(boxes[..., 1], spatial_scale)
     x2 = _quantize(boxes[..., 2], spatial_scale)
@@ -54,23 +60,28 @@ def _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w):
         valid = box_mask[..., None]
         yhi = jnp.where(valid, yhi, ylo)  # empty rows -> skipped entirely
         xhi = jnp.where(valid, xhi, xlo)
-    return ylo, yhi, xlo, xhi
+    packed = jnp.concatenate([ylo, yhi, xlo, xhi], axis=-1)  # [B, P, 2oh+2ow]
+    b, p, s = packed.shape
+    return packed.reshape(b, p * s)
 
 
 def _fwd_kernel(
-    ylo_s, yhi_s, xlo_s, xhi_s, fm_ref, out_ref, *, h, w, cb, out_h, out_w
+    bounds_s, fm_ref, out_ref, *, h, w, cb, out_h, out_w
 ):
-    """fm_ref: [1, 1, h, cb, w] VMEM; out_ref: [1, 1, p, cb, out_h*out_w]."""
+    """fm_ref: [1, 1, h, cb, w] VMEM; out_ref: [1, 1, p, cb, out_h*out_w];
+    bounds_s: packed [B, P*stride] SMEM (see ``_bounds``)."""
     b = pl.program_id(0)
     p_total = out_ref.shape[2]
+    stride = 2 * out_h + 2 * out_w
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     neg = jnp.asarray(-jnp.inf, jnp.float32)
 
     def per_box(p, _):
+        base = p * stride
         for i in range(out_h):
-            lo = ylo_s[b, p, i]
-            hi = yhi_s[b, p, i]
+            lo = bounds_s[b, base + i]
+            hi = bounds_s[b, base + out_h + i]
             c0 = lo // _CHUNK
             c1 = (hi + _CHUNK - 1) // _CHUNK
 
@@ -89,9 +100,11 @@ def _fwd_kernel(
             empty_y = hi <= lo
 
             for j in range(out_w):
-                xm = (col_x >= xlo_s[b, p, j]) & (col_x < xhi_s[b, p, j])
+                xlo = bounds_s[b, base + 2 * out_h + j]
+                xhi = bounds_s[b, base + 2 * out_h + out_w + j]
+                xm = (col_x >= xlo) & (col_x < xhi)
                 red = jnp.max(jnp.where(xm, acc, neg), axis=1)  # [cb]
-                empty = empty_y | (xhi_s[b, p, j] <= xlo_s[b, p, j])
+                empty = empty_y | (xhi <= xlo)
                 red = jnp.where(empty, jnp.zeros((), jnp.float32), red)
                 out_ref[0, 0, p, :, i * out_w + j] = red.astype(
                     out_ref.dtype
@@ -102,38 +115,53 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    ylo_s, yhi_s, xlo_s, xhi_s, fm_ref, out_ref, g_ref, dfm_ref,
+    bounds_s, fm_ref, out_ref, g_ref, dfm_ref,
     *, h, w, cb, out_h, out_w
 ):
     """Scatter g where fm equals the pooled max inside each bin."""
     b = pl.program_id(0)
     p_total = g_ref.shape[2]
+    stride = 2 * out_h + 2 * out_w
     dfm_ref[0, 0, :, :, :] = jnp.zeros((h, cb, w), dfm_ref.dtype)
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
 
     def per_box(p, _):
+        base = p * stride
         for i in range(out_h):
-            lo = ylo_s[b, p, i]
-            hi = yhi_s[b, p, i]
+            lo = bounds_s[b, base + i]
+            hi = bounds_s[b, base + out_h + i]
             c0 = lo // _CHUNK
             c1 = (hi + _CHUNK - 1) // _CHUNK
 
             def chunk_body(c, _c):
                 y0 = c * _CHUNK
-                slab = fm_ref[0, 0, pl.ds(y0, _CHUNK), :, :]  # [8, cb, w]
+                slab = fm_ref[0, 0, pl.ds(y0, _CHUNK), :, :].astype(
+                    jnp.float32
+                )  # [8, cb, w]
                 ym = (row_y + y0 >= lo) & (row_y + y0 < hi)
+                neg = jnp.asarray(-jnp.inf, jnp.float32)
+                slab_rows = jnp.where(ym, slab, neg)
                 add = jnp.zeros((_CHUNK, cb, w), jnp.float32)
+                zero3 = jnp.zeros((_CHUNK, cb, w), jnp.float32)
                 for j in range(out_w):
-                    xm = (col_x >= xlo_s[b, p, j]) & (
-                        col_x < xhi_s[b, p, j]
+                    xlo = bounds_s[b, base + 2 * out_h + j]
+                    xhi = bounds_s[b, base + 2 * out_h + out_w + j]
+                    xm = (col_x >= xlo) & (col_x < xhi)
+                    # Materialize broadcasts as f32 arithmetic: Mosaic cannot
+                    # relayout mixed-rank boolean broadcast combinations.
+                    pooled_b = (
+                        out_ref[0, 0, p, :, i * out_w + j]
+                        .astype(jnp.float32)[None, :, None]
+                        + zero3
                     )
-                    pooled_j = out_ref[0, 0, p, :, i * out_w + j]  # [cb]
-                    g_j = g_ref[0, 0, p, :, i * out_w + j]  # [cb]
-                    hit = ym & xm & (slab == pooled_j[None, :, None])
-                    add = add + jnp.where(
-                        hit, g_j[None, :, None].astype(jnp.float32), 0.0
+                    g_b = (
+                        g_ref[0, 0, p, :, i * out_w + j]
+                        .astype(jnp.float32)[None, :, None]
+                        + zero3
                     )
+                    slab_m = jnp.where(xm, slab_rows, neg)
+                    add = add + jnp.where(slab_m == pooled_b, g_b, 0.0)
                 cur = dfm_ref[0, 0, pl.ds(y0, _CHUNK), :, :]
                 dfm_ref[0, 0, pl.ds(y0, _CHUNK), :, :] = cur + add.astype(
                     dfm_ref.dtype
@@ -174,9 +202,9 @@ def _unfold_out(t, b, p, out_h, out_w, n_cb, cb):
     )
 
 
-def _pick_cb(c: int) -> int:
+def _pick_cb(c: int, cap: int = 32) -> int:
     for cb in (32, 16, 8, 4, 2, 1):
-        if c % cb == 0 and cb <= c:
+        if cb <= cap and c % cb == 0 and cb <= c:
             return cb
     return 1
 
@@ -202,16 +230,14 @@ def _roi_pool_fwd_impl(
     p = boxes.shape[1]
     cb = _pick_cb(c)
     n_cb = c // cb
-    ylo, yhi, xlo, xhi = _bounds(
-        boxes, box_mask, spatial_scale, out_h, out_w, h, w
-    )
+    bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 1)
     out_t = pl.pallas_call(
         functools.partial(
             _fwd_kernel, h=h, w=w, cb=cb, out_h=out_h, out_w=out_w
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=1,
             grid=(b, n_cb),
             in_specs=[fm_spec],
             out_specs=out_spec,
@@ -220,7 +246,7 @@ def _roi_pool_fwd_impl(
             (b, n_cb, p, cb, out_h * out_w), fm.dtype
         ),
         interpret=interpret,
-    )(ylo, yhi, xlo, xhi, _fold_fm(fm, cb))
+    )(bounds, _fold_fm(fm, cb))
     return _unfold_out(out_t, b, p, out_h, out_w, n_cb, cb)
 
 
@@ -230,26 +256,30 @@ def _roi_pool_bwd_impl(
 ):
     b, h, w, c = fm.shape
     p = boxes.shape[1]
-    cb = _pick_cb(c)
+    # Smaller channel blocks than forward: the bwd holds fm AND dfm blocks
+    # (plus pooled/g) and Pallas double-buffers across grid steps — cb=32
+    # would need ~30 MB of scoped VMEM.
+    cb = _pick_cb(c, cap=16)
     n_cb = c // cb
-    ylo, yhi, xlo, xhi = _bounds(
-        boxes, box_mask, spatial_scale, out_h, out_w, h, w
-    )
+    bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 3)
     dfm_t = pl.pallas_call(
         functools.partial(
             _bwd_kernel, h=h, w=w, cb=cb, out_h=out_h, out_w=out_w
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=1,
             grid=(b, n_cb),
             in_specs=[fm_spec, out_spec, out_spec],
             out_specs=fm_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_cb, h, cb, w), fm.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
-        ylo, yhi, xlo, xhi,
+        bounds,
         _fold_fm(fm, cb),
         _fold_out(pooled, b, p, out_h, out_w, n_cb, cb),
         _fold_out(g, b, p, out_h, out_w, n_cb, cb),

@@ -15,6 +15,7 @@ Rebuilds ``train_model`` / ``evaluate_model``
 
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional, Tuple
 
@@ -109,9 +110,18 @@ def fit(
             log_file,
         )
 
+    # Profiling hook (reference has only wall-clock epoch lines,
+    # train.py:32,62-71): set COVA_PROFILE_DIR to capture a jax.profiler
+    # trace of the first training steps for xprof/tensorboard.
+    profile_dir = os.environ.get("COVA_PROFILE_DIR")
+    profiling = False
+
     print("Training Model for %d epochs..." % cfg.n_epochs)
     stop = False
     for epoch in range(start_epoch, cfg.n_epochs + 1):
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         start = time.time()
         step_metrics = []
         for _, batch in train_pipeline.epoch(epoch=epoch):
@@ -120,6 +130,9 @@ def fit(
             state, m = train_step(state, batch, step_rng)
             step_metrics.append(m)
 
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
         # One host sync per epoch.
         step_metrics = jax.device_get(step_metrics)
         loss_sum = float(sum(m["loss_sum"] for m in step_metrics))
