@@ -31,6 +31,27 @@ from ..ops.conv_stem import (
 Conv = partial(nn.Conv, use_bias=False, kernel_init=nn.initializers.he_normal())
 
 
+class Conv3x3(nn.Module):
+    """Stride-1 3x3 conv through the Pallas im2col kernel on TPU
+    (``ops/conv3x3.py``), ``lax.conv`` elsewhere. Same param path/shape as
+    ``nn.Conv`` (``kernel`` [3, 3, C, F])."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        from ..ops.conv3x3 import conv3x3_auto
+
+        return conv3x3_auto(x.astype(self.dtype or x.dtype), kernel)
+
+
 class StemConv(nn.Module):
     """7x7/2 RGB conv through the MXU-shaped space-to-depth formulation
     (``ops/conv_stem.py``). Parameter path/shape (``kernel`` [7, 7, 3, F])
@@ -85,16 +106,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = Conv(
-            self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)],
-            dtype=self.dtype,
-        )(x)
+        if self.strides == (1, 1):
+            y = Conv3x3(self.filters, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            y = Conv(
+                self.filters, (3, 3), self.strides,
+                padding=[(1, 1), (1, 1)], dtype=self.dtype, name="Conv_0",
+            )(x)
         y = BatchNorm(self.dtype)(y, train)
         y = nn.relu(y)
-        y = Conv(
-            self.filters, (3, 3), (1, 1), padding=[(1, 1), (1, 1)],
-            dtype=self.dtype,
-        )(y)
+        y = Conv3x3(self.filters, dtype=self.dtype, name="Conv_1")(y)
         y = BatchNorm(self.dtype)(y, train)
         if residual.shape != y.shape:
             residual = Conv(

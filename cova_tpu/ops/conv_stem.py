@@ -89,14 +89,9 @@ def stem_conv_s2d(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
     k4 = k_flat[idx]  # [3, 3, 48, 4, O] via trailing broadcast
     k4 = k4.reshape(3, 3, _F * _F * cin, _G * _G * o).astype(x.dtype)
 
-    return jax.lax.conv_general_dilated(
-        xs,
-        k4,
-        window_strides=(1, 1),
-        padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
-    )  # [B, H/4, W/4, 4*O]
+    from .conv3x3 import conv3x3_auto
+
+    return conv3x3_auto(xs, k4)  # [B, H/4, W/4, 4*O]
 
 
 def stem_conv(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
