@@ -31,21 +31,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _slot_width(c: int) -> int:
-    """Patch-slot lane width: smallest 64-multiple holding C (64-aligned
-    static lane offsets are relayout-friendly; 128 keeps full alignment for
-    wider channels)."""
-    if c <= 64:
-        return 64
+    """Patch-slot lane width: C rounded up to a full 128-lane tile. Mosaic
+    cannot DMA-slice HBM arrays at sub-128 lane granularity, so the flat
+    input is stored lane-padded and each patch slot copies all 128 lanes
+    (the pad lanes are zero and multiply zero weight rows)."""
     return ((c + 127) // 128) * 128
 
 
-def _kernel(x_ref, w_ref, out_ref, scratch, patches, sem, *,
+def _kernel(x_ref, w_ref, out_ref, scratch, sem, *,
             m_tile, wp, c, o, slot):
     """One (image, row-tile) program.
 
-    x_ref: [1, L, c] HBM (ANY) — padded flat rows; w_ref: [9*slot, o] VMEM;
-    out_ref: [1, m_tile, o] VMEM block; scratch: [slab, c] VMEM;
-    patches: [m_tile, 9*slot] VMEM.
+    x_ref: [1, L, slot] HBM (ANY) — padded flat rows (lanes zero-padded to
+    the slot width); w_ref: [9*slot, o] VMEM; out_ref: [1, m_tile, o] VMEM
+    block; scratch: [slab, slot] VMEM.
     """
     bi = pl.program_id(0)
     t = pl.program_id(1)
@@ -57,17 +56,20 @@ def _kernel(x_ref, w_ref, out_ref, scratch, patches, sem, *,
     )
     dma.start()
 
-    patches[:, :] = jnp.zeros_like(patches)
     dma.wait()
+    # Nine shifted [m_tile, slot] x [slot, o] matmuls accumulated in f32 —
+    # reads the slab straight into the MXU instead of materializing an
+    # im2col patch matrix (9x write amplification measured slower than
+    # XLA's conv).
+    acc = jnp.zeros((m_tile, out_ref.shape[-1]), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             s = dy * 3 + dx
-            patches[:, s * slot : s * slot + c] = scratch[
-                pl.ds(dy * wp + dx, m_tile), :
-            ]
-    acc = jnp.dot(
-        patches[:, :], w_ref[:, :], preferred_element_type=jnp.float32
-    )
+            acc = acc + jnp.dot(
+                scratch[pl.ds(dy * wp + dx, m_tile), :],
+                w_ref[s * slot : (s + 1) * slot, :],
+                preferred_element_type=jnp.float32,
+            )
     out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
 
@@ -86,7 +88,9 @@ def _conv3x3_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
     front = wp + 1
     slab_rows = _round8(m_tile + 2 * wp + 2)
     back = n_tiles * m_tile + slab_rows - (hp * wp) - front + 8
-    flat = jnp.pad(flat, ((0, 0), (front, max(back, 0)), (0, 0)))
+    flat = jnp.pad(
+        flat, ((0, 0), (front, max(back, 0)), (0, slot - c))
+    )
 
     wpad = jnp.zeros((9 * slot, o), w.dtype)
     for dy in range(3):
@@ -115,8 +119,7 @@ def _conv3x3_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * m_tile, o), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((slab_rows, c), x.dtype),
-            pltpu.VMEM((m_tile, 9 * slot), x.dtype),
+            pltpu.VMEM((slab_rows, slot), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -167,8 +170,16 @@ conv3x3.defvjp(_fwd, _bwd)
 
 
 def use_pallas_conv() -> bool:
-    """Kernel path gate: Mosaic targets TPUs; elsewhere use lax.conv."""
-    return jax.default_backend() == "tpu"
+    """Kernel path gate. Off by default pending per-program overhead work:
+    measured end-to-end, the tiled im2col kernel currently loses to XLA's
+    conv (dispatch/DMA overhead across ~100 programs/image dominates its
+    MXU win). Set COVA_PALLAS_CONV=1 to enable on TPU."""
+    import os
+
+    return (
+        os.environ.get("COVA_PALLAS_CONV") == "1"
+        and jax.default_backend() == "tpu"
+    )
 
 
 def conv3x3_auto(x, w, m_tile: int = 1024):
