@@ -56,16 +56,26 @@ def run_train_bench(
     state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
     rng_step = jax.random.PRNGKey(1)
 
-    # Warm up (compile + first steps).
-    state, met = train_step(state, batch, rng_step)
-    _ = float(met["loss_sum"])
+    import jax.numpy as jnp
 
+    # Run `steps` optimizer steps inside one jit (fori_loop) so the
+    # measurement is device time, not per-dispatch tunnel latency; a scalar
+    # fetch at the end forces the sync.
+    @jax.jit
+    def run_steps(state, batch, rng):
+        def body(i, s):
+            s2, _ = train_step(s, batch, jax.random.fold_in(rng, i))
+            return s2
+        s = jax.lax.fori_loop(0, steps, body, state)
+        return jnp.sum(
+            s.params["decoder_out"]["Dense_0"]["bias"].astype(jnp.float32)
+        )
+
+    _ = float(run_steps(state, batch, rng_step))  # compile + warm
     best_dt = float("inf")
     for _ in range(windows):
         t0 = time.time()
-        for _ in range(steps):
-            state, met = train_step(state, batch, rng_step)
-        _ = float(met["loss_sum"])  # force full sync through the tunnel
+        _ = float(run_steps(state, batch, rng_step))
         best_dt = min(best_dt, (time.time() - t0) / steps)
 
     pages_per_sec = batch_size / best_dt

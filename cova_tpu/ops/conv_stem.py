@@ -117,14 +117,18 @@ def stem_pool_s2d(ys: jnp.ndarray) -> jnp.ndarray:
     """
     b, u, v, c4 = ys.shape
     o = c4 // (_G * _G)
-    ys5 = ys.reshape(b, u, v, _G, _G, o)
-    padded = jnp.pad(ys5, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    # Stay 4D: the (ey, ex) tap is a contiguous channel slice of the
+    # (ey ex o)-ordered channel dim — a 6D reshape would pad the minor dim
+    # and slice strided, which XLA lays out terribly.
+    padded = jnp.pad(ys, ((0, 0), (1, 0), (1, 0), (0, 0)))
     taps_y = [(-1, 1), (0, 0), (0, 1)]  # (block shift du, parity ey)
     out = None
     for du, ey in taps_y:
         for dv, ex in taps_y:
+            ch = (ey * _G + ex) * o
             tap = padded[
-                :, du + 1 : du + 1 + u, dv + 1 : dv + 1 + v, ey, ex, :
+                :, du + 1 : du + 1 + u, dv + 1 : dv + 1 + v,
+                ch : ch + o,
             ]
             out = tap if out is None else jnp.maximum(out, tap)
     return out
