@@ -124,8 +124,13 @@ def _load_datasets(cfg: Config, args):
     train_ids, val_ids, test_ids, webpage_info, test_domains = load_fold_ids(
         cfg.fold_dir
     )
+    # Build the native host runtime opportunistically (libpng decode + CSV
+    # parse thread pool); WebDataset falls back to PIL/numpy without it.
+    from .data import native_loader
+
+    native_loader.ensure_built()
     mk = lambda ids: WebDataset(  # noqa: E731
-        cfg.data_dir, ids, cfg.use_additional_feat
+        cfg.data_dir, ids, cfg.use_additional_feat, img_size=cfg.img_height
     )
     return mk(train_ids), mk(val_ids), mk(test_ids), webpage_info, test_domains
 

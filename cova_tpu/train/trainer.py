@@ -23,6 +23,7 @@ import jax
 import numpy as np
 
 from ..data.batching import Batch, pad_batch
+from ..data.device_prefetch import device_prefetch
 from ..utils.checkpoint import (
     CheckpointManager,
     restore_train_state,
@@ -124,8 +125,11 @@ def fit(
             profiling = True
         start = time.time()
         step_metrics = []
-        for _, batch in train_pipeline.epoch(epoch=epoch):
-            batch, _ = pad_batch(batch, cfg.batch_size)
+        padded = (
+            (ids, pad_batch(b, cfg.batch_size)[0])
+            for ids, b in train_pipeline.epoch(epoch=epoch)
+        )
+        for _, batch in device_prefetch(padded, size=2):
             rng, step_rng = jax.random.split(rng)
             state, m = train_step(state, batch, step_rng)
             step_metrics.append(m)

@@ -1,0 +1,96 @@
+"""End-to-end CLI test: train -> artifacts -> visualize on synthetic data.
+
+The integration analogue of running ``python main.py`` in the reference
+(SURVEY.md §4(c)): a short training run must produce decreasing loss, every
+reference artifact, restorable checkpoints, and attention CSVs.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from cova_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_e2e"))
+    rc = main([
+        "train", "--synthetic", "16", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8", "-e", "2",
+        "--compute_dtype", "float32", "--output_dir", out, "-nw", "2",
+    ])
+    assert rc == 0
+    return out
+
+
+def _results_dir(out):
+    subdirs = [d for d in os.listdir(out) if d.startswith("lr-")]
+    assert len(subdirs) == 1
+    return os.path.join(out, subdirs[0])
+
+
+def test_artifacts_exist(trained):
+    rd = _results_dir(trained)
+    for name in [
+        "Fold-1 logs.txt",
+        "Fold-1 test_acc_imgwise.csv",
+        "fold_wise_acc.csv",
+        "metrics.jsonl",
+        "Fold-1 saved_model.orbax",
+    ]:
+        assert os.path.exists(os.path.join(rd, name)), name
+
+
+def test_log_format_and_loss_decreases(trained):
+    rd = _results_dir(trained)
+    log = open(os.path.join(rd, "Fold-1 logs.txt")).read()
+    losses = [
+        float(m) for m in re.findall(r"Epoch:\s*\d+\s+Loss: ([\d.]+)", log)
+    ]
+    assert len(losses) == 2
+    assert losses[1] < losses[0]
+    assert "[VAL] Avg_class_Accuracy:" in log
+
+
+def test_imgwise_csv_schema(trained):
+    rd = _results_dir(trained)
+    path = os.path.join(rd, "Fold-1 test_acc_imgwise.csv")
+    header = open(path).readline().strip()
+    assert header == "img_id,price_acc,title_acc,image_acc"
+    rows = np.loadtxt(path, delimiter=",", skiprows=1)
+    assert rows.shape[1] == 4  # 16 pages -> 4 test pages (20% split)
+
+
+def test_fold_csv_schema(trained):
+    rd = _results_dir(trained)
+    lines = open(os.path.join(rd, "fold_wise_acc.csv")).read().splitlines()
+    assert lines[0] == (
+        "Fold,val_avg,price_acc,price_macro_acc,title_acc,"
+        "title_macro_acc,image_acc,image_macro_acc"
+    )
+    assert lines[1].startswith("1,")
+
+
+def test_visualize_from_checkpoint(trained):
+    rc = main([
+        "visualize", "--synthetic", "16", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
+        "--compute_dtype", "float32", "--output_dir", trained,
+        "-nw", "2", "--no_render", "--max_pages", "2",
+    ])
+    assert rc in (0, None)
+    rd = _results_dir(trained)
+    vis = os.path.join(rd, "Fold-1 attention visualization")
+    csvs = [f for f in os.listdir(vis) if f.endswith(".csv")]
+    assert len(csvs) == 2
+    rows = np.loadtxt(os.path.join(vis, csvs[0]), delimiter=",")
+    rows = np.atleast_2d(rows)
+    # layout: 4 coords + label + 2K*4 context coords + 2K attention (K=3)
+    assert rows.shape[1] == 4 + 1 + 6 * 4 + 6
+    labels = rows[:, 4]
+    assert set(labels).issubset({1.0, 2.0, 3.0})
+    attn = rows[:, -6:]
+    np.testing.assert_allclose(attn.sum(1), 1.0, atol=2e-3)
