@@ -84,14 +84,17 @@ class DataPipeline:
             order = rng.permutation(order)
         return self._shard_order(order)
 
-    def _make_example(self, epoch: int, index: int):
+    def _make_page(self, epoch: int, index: int):
         rec = self.ds.record(index)
         if self.sampling_fraction < 1.0:
             rng = np.random.default_rng((self.seed, epoch, index))
             rec = sample_background(rec, self.sampling_fraction, rng)
-        page = pad_page(
+        return pad_page(
             rec, self.pad_boxes, self.context_size, self.ds.n_additional_feat
         )
+
+    def _make_example(self, epoch: int, index: int):
+        page = self._make_page(epoch, index)
         img = self.ds.image(index)
         return img, page
 
@@ -107,6 +110,34 @@ class DataPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # When the C++ runtime is available and the dataset is disk-backed
+        # with a known image size, whole batches decode through the libpng
+        # pthread pool in one call (no Python in the decode loop).
+        use_native_batch = (
+            getattr(self.ds, "use_native", False)
+            and getattr(self.ds, "img_size", None) is not None
+            and hasattr(self.ds, "img_paths")
+        )
+
+        def make_batch(idxs):
+            if use_native_batch:
+                from . import native_loader
+
+                pages = [
+                    self._make_page(epoch, int(i)) for i in idxs
+                ]
+                imgs = native_loader.decode_png_batch(
+                    [self.ds.img_paths[int(i)] for i in idxs],
+                    self.ds.img_size,
+                    self.ds.img_size,
+                    nthreads=self.num_threads,
+                )
+                return collate(list(imgs), pages)
+            examples = [
+                self._make_example(epoch, int(i)) for i in idxs
+            ]
+            return collate([e[0] for e in examples], [e[1] for e in examples])
+
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in range(n_batches):
@@ -116,16 +147,25 @@ class DataPipeline:
                         b * self.batch_size : (b + 1) * self.batch_size
                     ]
                     try:
-                        examples = list(
-                            pool.map(
-                                lambda i: self._make_example(epoch, int(i)),
-                                idxs,
+                        if use_native_batch:
+                            batch = make_batch(idxs)
+                            page_ids = [
+                                self.ds.ids[int(i)] for i in idxs
+                            ]
+                        else:
+                            examples = list(
+                                pool.map(
+                                    lambda i: self._make_example(
+                                        epoch, int(i)
+                                    ),
+                                    idxs,
+                                )
                             )
-                        )
-                        imgs = [e[0] for e in examples]
-                        pages = [e[1] for e in examples]
-                        batch = collate(imgs, pages)
-                        q.put(([p.page_id for p in pages], batch))
+                            imgs = [e[0] for e in examples]
+                            pages = [e[1] for e in examples]
+                            batch = collate(imgs, pages)
+                            page_ids = [p.page_id for p in pages]
+                        q.put((page_ids, batch))
                     except BaseException as e:  # surface in consumer
                         q.put(e)
                         return

@@ -87,3 +87,22 @@ def test_webdataset_native_path(disk_ds):
             ds_native.all_labels[k], ds_py.all_labels[k]
         )
         np.testing.assert_array_equal(ds_native.image(k), ds_py.image(k))
+
+
+def test_pipeline_native_batch_path(disk_ds):
+    """DataPipeline routes whole-batch decode through the C++ pool when the
+    dataset is native-backed with a known size."""
+    from cova_tpu.data.pipeline import DataPipeline
+
+    root, ids = disk_ds
+    ds = WebDataset(root, ids, img_size=48, use_native=True)
+    p = DataPipeline(ds, batch_size=2, pad_boxes=16, context_size=2,
+                     num_threads=2)
+    ds_py = WebDataset(root, ids, use_native=False)
+    p_py = DataPipeline(ds_py, batch_size=2, pad_boxes=16, context_size=2,
+                        num_threads=2)
+    for (ids_a, ba), (ids_b, bb) in zip(p.epoch(0), p_py.epoch(0)):
+        assert ids_a == ids_b
+        np.testing.assert_array_equal(ba.images, bb.images)
+        np.testing.assert_array_equal(ba.boxes, bb.boxes)
+        np.testing.assert_array_equal(ba.context_indices, bb.context_indices)
