@@ -202,9 +202,18 @@ def _unfold_out(t, b, p, out_h, out_w, n_cb, cb):
     )
 
 
-def _pick_cb(c: int, cap: int = 32) -> int:
+def _pick_cb(
+    c: int, h: int = 320, w: int = 320, itemsize: int = 2,
+    budget_bytes: int = 14 * 1024 * 1024, cap: int = 32,
+) -> int:
+    """Largest channel block whose [h, cb, w] VMEM slab (double-buffered by
+    the Pallas pipeline) fits the budget — geometry-aware so larger feature
+    maps (e.g. the 2x-resolution stretch config) shrink the block instead
+    of overflowing VMEM."""
     for cb in (32, 16, 8, 4, 2, 1):
-        if cb <= cap and c % cb == 0 and cb <= c:
+        if cb > cap or c % cb != 0 or cb > c:
+            continue
+        if 2 * h * cb * w * itemsize <= budget_bytes:
             return cb
     return 1
 
@@ -228,7 +237,7 @@ def _roi_pool_fwd_impl(
 ):
     b, h, w, c = fm.shape
     p = boxes.shape[1]
-    cb = _pick_cb(c)
+    cb = _pick_cb(c, h, w, fm.dtype.itemsize)
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 1)
@@ -259,7 +268,8 @@ def _roi_pool_bwd_impl(
     # Smaller channel blocks than forward: the bwd holds fm AND dfm blocks
     # (plus pooled/g) and Pallas double-buffers across grid steps — cb=32
     # would need ~30 MB of scoped VMEM.
-    cb = _pick_cb(c, cap=16)
+    cb = _pick_cb(c, h, w, fm.dtype.itemsize,
+                  budget_bytes=7 * 1024 * 1024, cap=16)
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 3)
