@@ -1,24 +1,25 @@
-"""Pallas 3x3 same-conv via in-VMEM im2col + MXU matmul.
+"""Pallas 3x3 same-conv as nine aligned MXU matmuls.
 
 XLA's conv lowering reaches only ~20-30 TFLOP/s on this chip for the
 model's 3x3 convolutions (64ch residual blocks, the stem's s2d form), while
-plain matmuls measure ~144 TFLOP/s. This kernel turns the conv into the
-matmul XLA won't:
+plain matmuls measure ~144 TFLOP/s. This kernel feeds the conv to the MXU as
+matmuls over a row-major flattened image:
 
-  * the input is flattened row-major over a zero-padded (H+2, W+2) image,
-    so every one of the nine patch taps is a *sublane-shifted contiguous
-    slice* of the same buffer (offset dy*(W+2)+dx) — no gathers, no halo
-    blocks;
-  * patches are assembled in VMEM at 128-lane-aligned slots ([9*128, O]
-    zero-padded weights) and hit the MXU as one [M_tile, 1152] @ [1152, O]
-    product per row-tile;
+  * the image is zero-padded to (H+2, W8) with the padded row width W8
+    rounded to a sublane multiple, then flattened row-major, so the nine
+    patch taps become slices at offsets ``dy*W8 + dx``;
+  * the ``dx`` component would misalign VMEM slices (Mosaic relayouts ate a
+    first im2col attempt's MXU win), so each row-tile issues THREE DMAs —
+    one per dx, each starting at the (arbitrary, DMA-friendly) offset
+    ``m0 + dx`` — after which every in-VMEM tap slice sits at the 8-aligned
+    offset ``dy*W8``;
+  * nine [M_tile, 128] x [128, O] matmuls accumulate in f32 (input channels
+    lane-padded to 128; the pad lanes are zero against zero weight rows);
   * backward: dx is the same kernel with spatially-flipped, transposed
-    weights; dW is left to XLA (a [3,3,C,O]-output conv whose contraction
-    over batch*spatial is already MXU-shaped).
+    weights; dW is one XLA conv whose contraction runs over batch*spatial
+    (already MXU-shaped).
 
-Used for the ResNet basic-block convs and the stem's s2d conv
-(``conv_stem.py``); validated against ``lax.conv_general_dilated`` in both
-values and gradients.
+Validated against ``lax.conv_general_dilated`` in values and gradients.
 """
 
 from __future__ import annotations
@@ -30,43 +31,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
 def _slot_width(c: int) -> int:
-    """Patch-slot lane width: C rounded up to a full 128-lane tile. Mosaic
-    cannot DMA-slice HBM arrays at sub-128 lane granularity, so the flat
-    input is stored lane-padded and each patch slot copies all 128 lanes
-    (the pad lanes are zero and multiply zero weight rows)."""
+    """Lane width per tap: C rounded to a full 128-lane tile (HBM arrays
+    cannot be DMA-sliced at sub-128 lane granularity)."""
     return ((c + 127) // 128) * 128
 
 
-def _kernel(x_ref, w_ref, out_ref, scratch, sem, *,
-            m_tile, wp, c, o, slot):
+def _kernel(x_ref, w_ref, out_ref, slabs, sems, *, m_tile, w8, slot):
     """One (image, row-tile) program.
 
-    x_ref: [1, L, slot] HBM (ANY) — padded flat rows (lanes zero-padded to
-    the slot width); w_ref: [9*slot, o] VMEM; out_ref: [1, m_tile, o] VMEM
-    block; scratch: [slab, slot] VMEM.
+    x_ref: [B, 3, L, slot] HBM (ANY) — dx-shifted copies so every DMA
+    start (t*m_tile) is sublane-aligned; w_ref: [9*slot, o] VMEM;
+    out_ref: [1, m_tile, o] VMEM block; slabs: [3, slab_rows, slot] VMEM.
     """
     bi = pl.program_id(0)
     t = pl.program_id(1)
-    m0 = t * m_tile  # into the front-padded flat array
+    m0 = t * m_tile
+    slab_rows = slabs.shape[1]
 
-    slab_rows = scratch.shape[0]
-    dma = pltpu.make_async_copy(
-        x_ref.at[bi, pl.ds(m0, slab_rows), :], scratch, sem
-    )
-    dma.start()
+    dmas = []
+    for dx in range(3):
+        dma = pltpu.make_async_copy(
+            x_ref.at[bi, dx, pl.ds(m0, slab_rows), :],
+            slabs.at[dx],
+            sems.at[dx],
+        )
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
 
-    dma.wait()
-    # Nine shifted [m_tile, slot] x [slot, o] matmuls accumulated in f32 —
-    # reads the slab straight into the MXU instead of materializing an
-    # im2col patch matrix (9x write amplification measured slower than
-    # XLA's conv).
     acc = jnp.zeros((m_tile, out_ref.shape[-1]), jnp.float32)
     for dy in range(3):
+        off = dy * w8  # 8-aligned: w8 is a sublane multiple
         for dx in range(3):
             s = dy * 3 + dx
             acc = acc + jnp.dot(
-                scratch[pl.ds(dy * wp + dx, m_tile), :],
+                slabs[dx, off : off + m_tile, :],
                 w_ref[s * slot : (s + 1) * slot, :],
                 preferred_element_type=jnp.float32,
             )
@@ -78,19 +84,25 @@ def _conv3x3_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
     b, h, wdt, c = x.shape
     o = w.shape[-1]
     slot = _slot_width(c)
-    hp, wp = h + 2, wdt + 2
+    hp = h + 2
+    w8 = _round8(wdt + 2)
 
-    # Zero-pad the image, flatten row-major, pad front so every slab DMA
-    # (starting at m0, spanning m_tile + 2*wp + 2 rows) stays in range.
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    flat = xp.reshape(b, hp * wp, c)
-    n_tiles = -(-(hp * wp) // m_tile)
-    front = wp + 1
-    slab_rows = _round8(m_tile + 2 * wp + 2)
-    back = n_tiles * m_tile + slab_rows - (hp * wp) - front + 8
-    flat = jnp.pad(
-        flat, ((0, 0), (front, max(back, 0)), (0, slot - c))
-    )
+    # Zero-pad to (hp, w8): col 0 is the conv's left pad, cols wdt+1..w8-1
+    # are right pad + row-width alignment. Flatten row-major and lane-pad.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w8 - wdt - 1), (0, 0)))
+    flat = xp.reshape(b, hp * w8, c)
+    n_tiles = -(-(hp * w8) // m_tile)
+    front = w8 + 1
+    slab_rows = _round8(m_tile + 2 * w8 + 8)
+    back = max(
+        0, (n_tiles - 1) * m_tile + slab_rows + 2 - hp * w8 - front
+    ) + 8
+    flat = jnp.pad(flat, ((0, 0), (front, back), (0, slot - c)))
+    # dx-shifted copies (DMA starts must be sublane-aligned; +dx is not).
+    length = flat.shape[1] - 2
+    flat = jnp.stack(
+        [flat[:, d : d + length] for d in range(3)], axis=1
+    )  # [B, 3, L, slot]
 
     wpad = jnp.zeros((9 * slot, o), w.dtype)
     for dy in range(3):
@@ -102,9 +114,7 @@ def _conv3x3_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
     wpad = wpad.astype(x.dtype)
 
     out_flat = pl.pallas_call(
-        functools.partial(
-            _kernel, m_tile=m_tile, wp=wp, c=c, o=o, slot=slot
-        ),
+        functools.partial(_kernel, m_tile=m_tile, w8=w8, slot=slot),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -119,8 +129,8 @@ def _conv3x3_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * m_tile, o), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((slab_rows, slot), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((3, slab_rows, slot), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -128,16 +138,12 @@ def _conv3x3_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
         interpret=interpret,
     )(flat, wpad)
 
-    out = out_flat[:, : hp * wp, :].reshape(b, hp, wp, o)
+    out = out_flat[:, : hp * w8, :].reshape(b, hp, w8, o)
     return out[:, 1 : 1 + h, 1 : 1 + wdt, :]
 
 
-def _round8(n: int) -> int:
-    return ((n + 7) // 8) * 8
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def conv3x3(x: jnp.ndarray, w: jnp.ndarray, m_tile: int = 1024,
+def conv3x3(x: jnp.ndarray, w: jnp.ndarray, m_tile: int = 2048,
             interpret: bool = False):
     """3x3 stride-1 same conv, NHWC. x: [B, H, W, C]; w: [3, 3, C, O]."""
     return _conv3x3_impl(x, w, m_tile, interpret)
@@ -170,10 +176,11 @@ conv3x3.defvjp(_fwd, _bwd)
 
 
 def use_pallas_conv() -> bool:
-    """Kernel path gate. Off by default pending per-program overhead work:
-    measured end-to-end, the tiled im2col kernel currently loses to XLA's
-    conv (dispatch/DMA overhead across ~100 programs/image dominates its
-    MXU win). Set COVA_PALLAS_CONV=1 to enable on TPU."""
+    """Kernel path gate, default OFF: three structurings were measured on
+    chip (im2col patches 7.0 ms, 9 misaligned-slice matmuls 6.6 ms, aligned
+    dx-copy DMAs 10.0 ms) and all lose to XLA's conv (2.4-2.8 ms) for the
+    model's 64ch 3x3 shapes — relayout or data-duplication costs eat the
+    MXU win. Set COVA_PALLAS_CONV=1 to experiment."""
     import os
 
     return (
@@ -182,7 +189,7 @@ def use_pallas_conv() -> bool:
     )
 
 
-def conv3x3_auto(x, w, m_tile: int = 1024):
+def conv3x3_auto(x, w, m_tile: int = 2048):
     """conv3x3 through the Pallas kernel on TPU, lax.conv otherwise."""
     if use_pallas_conv():
         return conv3x3(x, w, m_tile, False)
