@@ -119,7 +119,8 @@ class BasicBlock(nn.Module):
         y = BatchNorm(self.dtype)(y, train)
         if residual.shape != y.shape:
             residual = Conv(
-                self.filters, (1, 1), self.strides, dtype=self.dtype
+                self.filters, (1, 1), self.strides, dtype=self.dtype,
+                name="Conv_2",
             )(x)
             residual = BatchNorm(self.dtype)(residual, train)
         return nn.relu(y + residual)

@@ -114,3 +114,11 @@ def test_train_mode_updates_stats(rng):
     cfg = Config(**BASE)
     logits = _run(cfg, rng, train=True).logits
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_full_resnet18_backbone(rng):
+    """Full (4-stage, stride-32) backbone for the scaled configs."""
+    cfg = Config(**{**BASE, "img_height": 64, "backbone": "resnet18"})
+    out = _run(cfg, rng)
+    assert out.logits.shape == (2, cfg.pad_boxes, 4)
+    assert np.isfinite(np.asarray(out.logits)).all()

@@ -88,3 +88,18 @@ def test_val_pipeline_never_samples(mem_ds):
     n1 = next(iter(p1.epoch(0)))[1].box_mask.sum()
     n2 = next(iter(p1.epoch(5)))[1].box_mask.sum()
     assert n1 == n2
+
+
+def test_producer_errors_propagate(mem_ds):
+    """Decode/IO failures in the background producer must surface in the
+    consumer, not hang the queue."""
+
+    class Broken(type(mem_ds)):
+        pass
+
+    broken = Broken.__new__(Broken)
+    broken.__dict__.update(mem_ds.__dict__)
+    broken.image = lambda i: (_ for _ in ()).throw(IOError("boom"))
+    p = _pipe(broken)
+    with pytest.raises(IOError):
+        list(p.epoch(0))
