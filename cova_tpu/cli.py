@@ -21,8 +21,6 @@ import os
 import sys
 from typing import Optional
 
-import numpy as np
-
 from .config import CLASS_NAMES, Config
 
 

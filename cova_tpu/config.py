@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 # Class taxonomy (reference constants.py:5-11). Index 0 ("BG") is ignored in
 # all accuracy reporting.

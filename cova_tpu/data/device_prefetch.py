@@ -10,7 +10,7 @@ transfer is slow relative to the step, this hides most of it.
 from __future__ import annotations
 
 from collections import deque
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator
 
 import jax
 

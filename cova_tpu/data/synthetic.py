@@ -13,7 +13,7 @@ Pages can be materialized to disk in the reference's on-disk format
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

@@ -23,7 +23,7 @@ Buffers are donated; the whole step is one XLA program on the mesh.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..data.batching import Batch, pad_batch
+from ..data.batching import pad_batch
 from ..data.device_prefetch import device_prefetch
 from ..utils.checkpoint import (
     CheckpointManager,
