@@ -58,7 +58,12 @@ def synth_image(
         2: np.array([40, 40, 220], np.uint8),  # Title: blue-ish
         3: np.array([40, 220, 40], np.uint8),  # Image: green-ish
     }
-    for (bx, by, bw, bh), lab in zip(record.boxes_xywh, record.labels):
+    # BG boxes first, target boxes last, so a random BG box cannot paint
+    # over a Price/Title/Image box and destroy the visual signal.
+    order = np.argsort(record.labels != 0, kind="stable")
+    for (bx, by, bw, bh), lab in zip(
+        record.boxes_xywh[order], record.labels[order]
+    ):
         x1, y1 = int(bx), int(by)
         x2 = min(int(bx + bw), img_h)
         y2 = min(int(by + bh), img_h)
