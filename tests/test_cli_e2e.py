@@ -94,3 +94,31 @@ def test_visualize_from_checkpoint(trained):
     assert set(labels).issubset({1.0, 2.0, 3.0})
     attn = rows[:, -6:]
     np.testing.assert_allclose(attn.sum(1), 1.0, atol=2e-3)
+
+
+def test_eval_standalone(trained, tmp_path, monkeypatch):
+    """`cova eval` rebuilds the model, restores the best checkpoint, and
+    writes its artifacts to the CWD (reference evaluate.py:175-183)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "eval", "--synthetic", "16", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
+        "--compute_dtype", "float32", "--output_dir", trained, "-nw", "2",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "Fold-1 test_acc_imgwise.csv"))
+    assert os.path.exists(str(tmp_path / "Fold-1 test_acc_classwise.txt"))
+
+
+def test_cli_resume(trained):
+    """--resume continues from the last checkpoint instead of restarting."""
+    rc = main([
+        "train", "--synthetic", "16", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8", "-e", "3",
+        "--compute_dtype", "float32", "--output_dir", trained,
+        "-nw", "2", "--resume",
+    ])
+    assert rc == 0
+    rd = _results_dir(trained)
+    log = open(os.path.join(rd, "Fold-1 logs.txt")).read()
+    assert "Resuming from epoch 3" in log
