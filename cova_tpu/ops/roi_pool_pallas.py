@@ -204,16 +204,18 @@ def _unfold_out(t, b, p, out_h, out_w, n_cb, cb):
 
 def _pick_cb(
     c: int, h: int = 320, w: int = 320, itemsize: int = 2,
-    budget_bytes: int = 14 * 1024 * 1024, cap: int = 32,
+    budget_bytes: int = 15 * 1024 * 1024, cap: int = 32, batch: int = 8,
 ) -> int:
     """Largest channel block whose [h, cb, w] VMEM slab (double-buffered by
     the Pallas pipeline) fits the budget — geometry-aware so larger feature
     maps (e.g. the 2x-resolution stretch config) shrink the block instead
-    of overflowing VMEM."""
+    of overflowing VMEM. Scoped VMEM pressure also grows ~0.12 MB per batch
+    image (measured: B=8 compiles at cb=32, B=32 overflows by 2.6 MB), so
+    the batch term demotes the block size for very large batches."""
     for cb in (32, 16, 8, 4, 2, 1):
         if cb > cap or c % cb != 0 or cb > c:
             continue
-        if 2 * h * cb * w * itemsize <= budget_bytes:
+        if 2 * h * cb * w * itemsize + batch * 122_880 <= budget_bytes:
             return cb
     return 1
 
@@ -237,7 +239,7 @@ def _roi_pool_fwd_impl(
 ):
     b, h, w, c = fm.shape
     p = boxes.shape[1]
-    cb = _pick_cb(c, h, w, fm.dtype.itemsize)
+    cb = _pick_cb(c, h, w, fm.dtype.itemsize, batch=b)
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 1)
@@ -269,7 +271,7 @@ def _roi_pool_bwd_impl(
     # (plus pooled/g) and Pallas double-buffers across grid steps — cb=32
     # would need ~30 MB of scoped VMEM.
     cb = _pick_cb(c, h, w, fm.dtype.itemsize,
-                  budget_bytes=7 * 1024 * 1024, cap=16)
+                  budget_bytes=8 * 1024 * 1024, cap=16, batch=b)
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 3)
