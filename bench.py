@@ -7,16 +7,27 @@ Prints ONE JSON line:
 vs_baseline is measured against the PyTorch-CPU reference implementation
 (see scripts/bench_torch_baseline.py and baseline_torch.json; the reference
 repo publishes no throughput numbers of its own).
+
+Fault tolerance: the remote-TPU tunnel occasionally throws a transient
+``INTERNAL: TPU backend error`` at compile/warmup (it did exactly that in
+round 1's capture). A wedged backend is not recoverable in-process, so the
+measurement runs in a worker subprocess and the parent retries with a fresh
+interpreter (fresh backend/tunnel connection) up to COVA_BENCH_ATTEMPTS
+times, emitting the first successful JSON line.
 """
 
 import json
 import os
+import subprocess
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_WORKER_FLAG = "--worker"
 
-def main():
+
+def _run_worker():
     from cova_tpu.benchmarks import run_train_bench
 
     result = run_train_bench(
@@ -36,5 +47,52 @@ def main():
     )
 
 
+def _parse_json_line(stdout: str):
+    """Last stdout line that parses as the bench JSON object, or None."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj and "value" in obj:
+            return line
+    return None
+
+
+def main():
+    attempts = int(os.environ.get("COVA_BENCH_ATTEMPTS", "3"))
+    last_output = ""
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), _WORKER_FLAG],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                timeout=int(os.environ.get("COVA_BENCH_TIMEOUT", "1800")),
+            )
+            last_output = proc.stdout + "\n" + proc.stderr
+            line = _parse_json_line(proc.stdout)
+            if proc.returncode == 0 and line is not None:
+                print(line)
+                return 0
+        except subprocess.TimeoutExpired as e:
+            last_output = f"attempt {attempt} timed out: {e}"
+        sys.stderr.write(
+            f"[bench.py] attempt {attempt}/{attempts} failed; "
+            f"{'retrying with a fresh backend' if attempt < attempts else 'giving up'}\n"
+        )
+        if attempt < attempts:
+            time.sleep(5 * attempt)
+    sys.stderr.write(last_output[-4000:] + "\n")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if _WORKER_FLAG in sys.argv:
+        _run_worker()
+    else:
+        sys.exit(main())

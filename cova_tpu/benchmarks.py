@@ -71,7 +71,17 @@ def run_train_bench(
             s.params["decoder_out"]["Dense_0"]["bias"].astype(jnp.float32)
         )
 
-    _ = float(run_steps(state, batch, rng_step))  # compile + warm
+    # Compile + warm. The tunnel occasionally throws a transient INTERNAL
+    # error on the first dispatch — retry in-process a couple of times
+    # before the caller escalates to a fresh-interpreter retry (bench.py).
+    for attempt in range(3):
+        try:
+            _ = float(run_steps(state, batch, rng_step))
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(3)
     best_dt = float("inf")
     for _ in range(windows):
         t0 = time.time()

@@ -54,16 +54,26 @@ def collate(
 def pad_batch(batch: Batch, target_b: int) -> tuple[Batch, np.ndarray]:
     """Pad the leading batch dim to ``target_b`` (for the last partial batch
     under a fixed-shape jitted step). Returns (padded batch, page validity
-    mask [target_b])."""
+    mask [target_b]).
+
+    Padded slots are filled by CYCLING the real pages, not with zeros: the
+    backbone's image-level BatchNorm computes batch statistics over every
+    page in the batch (it is not mask-aware, matching the reference, which
+    never sees padding — ``/root/reference/models.py:48-56``), so zero
+    images would skew both the batch stats and the running stats. Repeated
+    real pages contribute natural image statistics; their boxes stay fully
+    masked out, so loss, metrics, and the box-level masked BNs are
+    unaffected.
+    """
     b = batch.batch_size
     if b == target_b:
         return batch, np.ones((b,), dtype=bool)
     assert b < target_b
     pad = target_b - b
+    fill = np.arange(pad) % b  # cycle real pages into the padded slots
 
     def _pad(x: np.ndarray) -> np.ndarray:
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(x, widths)
+        return np.concatenate([x, x[fill]], axis=0)
 
     page_mask = np.zeros((target_b,), dtype=bool)
     page_mask[:b] = True

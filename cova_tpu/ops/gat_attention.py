@@ -45,7 +45,10 @@ def neighborhood_matrix(
     """
     iota = jnp.arange(n_nodes, dtype=ctx_idx.dtype)
     onehot = (ctx_idx[..., None] == iota).astype(attn.dtype)  # [B,P,K,P]
-    return jnp.einsum("bpk,bpkm->bpm", attn, onehot)
+    out = jnp.einsum(
+        "bpk,bpkm->bpm", attn, onehot, preferred_element_type=jnp.float32
+    )
+    return out.astype(attn.dtype)
 
 
 def neighbor_aggregate(
@@ -57,6 +60,10 @@ def neighbor_aggregate(
     neighborhood matrix and matmul.
     """
     a = neighborhood_matrix(attn, ctx_idx, values.shape[1])
-    return jnp.einsum(
-        "bpm,bmh->bph", a, values, preferred_element_type=values.dtype
+    # Accumulate in f32 even under bf16 compute: up to K (=2*context_size)
+    # contributions per row, and MXU f32 accumulation is free. The reference
+    # accumulates in f32 throughout (torch bmm, models.py:206-208).
+    out = jnp.einsum(
+        "bpm,bmh->bph", a, values, preferred_element_type=jnp.float32
     )
+    return out.astype(values.dtype)

@@ -62,17 +62,32 @@ int cova_decode_png(const char* path, unsigned char* out, int h, int w) {
   png_byte color_type = png_get_color_type(png, info);
   png_byte bit_depth = png_get_bit_depth(png, info);
 
-  // Normalize every input format to 8-bit RGB.
+  // Normalize every input format to 8-bit RGB, matching PIL's
+  // convert("RGB") (the Python fallback this decoder must mirror). Alpha is
+  // stripped UNCONDITIONALLY: png_set_palette_to_rgb sets PNG_EXPAND, which
+  // also expands a tRNS transparency chunk into a full alpha channel even
+  // though the original color_type carries no alpha mask — gating the strip
+  // on the original color_type used to leave 4-byte RGBA rows that the RGB
+  // memcpy below channel-shifted. Stripping is a no-op when no alpha exists,
+  // and dropping the expanded alpha leaves exactly PIL's RGB values (PIL's
+  // convert("RGB") ignores tRNS).
   if (bit_depth == 16) png_set_strip_16(png);
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color_type == PNG_COLOR_TYPE_GRAY ||
       color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_set_strip_alpha(png);
   png_read_update_info(png, info);
+
+  // Safety net: after the transform chain the rows must be exactly RGB8.
+  // Fail with an error code rather than memcpy'ing mismatched row widths.
+  if (png_get_channels(png, info) != 3 || png_get_bit_depth(png, info) != 8) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return -7;
+  }
 
   size_t rowbytes = png_get_rowbytes(png, info);
   png_bytep row = (png_bytep)malloc(rowbytes);

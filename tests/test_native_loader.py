@@ -58,6 +58,45 @@ def test_decode_pads_and_crops(disk_ds):
     np.testing.assert_array_equal(smaller, want[:32, :32])
 
 
+def test_decode_palette_trns_matches_pil(tmp_path):
+    """Palette PNG with a tRNS transparency chunk: the decoder must ignore
+    tRNS exactly like PIL's convert("RGB") does (regression: the expansion
+    to RGBA used to channel-shift every pixel)."""
+    from PIL import Image
+
+    img = Image.new("P", (16, 16))
+    palette = []
+    for i in range(256):
+        palette += [i, (i * 3) % 256, 255 - i]
+    img.putpalette(palette)
+    px = img.load()
+    for y in range(16):
+        for x in range(16):
+            px[x, y] = (x + 16 * y) % 256
+    path = str(tmp_path / "pal_trns.png")
+    img.save(path, transparency=0)
+
+    want = np.asarray(Image.open(path).convert("RGB"))
+    got = native_loader.decode_png(path, 16, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decode_gray_trns_matches_pil(tmp_path):
+    from PIL import Image
+
+    img = Image.new("L", (12, 12))
+    px = img.load()
+    for y in range(12):
+        for x in range(12):
+            px[x, y] = (17 * x + 5 * y) % 256
+    path = str(tmp_path / "gray_trns.png")
+    img.save(path, transparency=128)
+
+    want = np.asarray(Image.open(path).convert("RGB"))
+    got = native_loader.decode_png(path, 12, 12)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_csv_matches_numpy(disk_ds):
     root, ids = disk_ds
     for i in ids:

@@ -45,6 +45,11 @@ def test_partial_last_batch_and_padding(mem_ds):
     assert padded.batch_size == 4
     assert page_mask.tolist() == [True, False, False, False]
     assert not padded.box_mask[1:].any()
+    # Padded slots cycle REAL pages (not zeros): the backbone's image-level
+    # BN sees natural statistics; only box_mask marks them invalid.
+    for k in range(1, 4):
+        np.testing.assert_array_equal(padded.images[k], padded.images[0])
+        np.testing.assert_array_equal(padded.boxes[k], padded.boxes[0])
 
 
 def test_epoch_determinism_and_reshuffle(mem_ds):
