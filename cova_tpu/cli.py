@@ -50,8 +50,12 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--img_height", type=int, default=1280)
     p.add_argument("--backbone", default="resnet18_stem")
     p.add_argument("--compute_dtype", default="bfloat16")
-    p.add_argument("--num_devices", type=int, default=0,
-                   help="data-parallel devices (0 = all available)")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="devices for the (data, model) mesh "
+                        "(0 = all available, 1 = single-device)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel factor within num_devices "
+                        "(wide decoder/GAT kernels)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the last checkpoint if present")
     p.add_argument("--synthetic", type=int, default=0, metavar="N_PAGES",
@@ -83,6 +87,8 @@ def _cfg_from_args(args) -> Config:
         batch_size=args.batch_size,
         weight_decay=args.weight_decay,
         cv_fold=args.cv_fold,
+        num_devices=args.num_devices,
+        model_parallel=args.model_parallel,
     )
 
 
@@ -148,6 +154,10 @@ def _build(cfg: Config, train_ds, val_ds, test_ds):
     _, example = next(iter(val_p.epoch(0)))
     example, _ = pad_batch(example, cfg.eval_batch_size)
     state = create_train_state(model, cfg, example, jax.random.PRNGKey(cfg.seed))
+    from .utils.params import count_parameters
+
+    # Trainable-param line at init (reference models.py:92).
+    print("Model Parameters:", count_parameters(state.params))
     return cfg, model, state, train_p, val_p, test_p
 
 
@@ -187,11 +197,21 @@ def cmd_train(args) -> int:
         "Sampling Fraction: %.2f\n" % cfg.sampling_fraction, log_file
     )
 
+    # Multi-device: build the (data, model) mesh the trainer shards over
+    # (None = plain single-device jit). SURVEY.md §2/§7 step 6.
+    from .parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg)
+    if mesh is not None:
+        print_and_log(
+            "Mesh: %s" % dict(mesh.shape), log_file
+        )
+
     ckpt = CheckpointManager(cfg.ckpt_dir())
     metrics = MetricsLogger(os.path.join(cfg.results_dir, "metrics.jsonl"))
     state, val_acc = fit(
         state, cfg, train_p, val_p, ckpt, log_file, metrics,
-        class_names=CLASS_NAMES, resume=args.resume,
+        class_names=CLASS_NAMES, resume=args.resume, mesh=mesh,
     )
 
     imgwise = os.path.join(

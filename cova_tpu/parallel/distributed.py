@@ -21,9 +21,28 @@ chip and a pod.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
+
+_initialized = False
+
+# Environment markers that identify a multi-host launch. Querying the
+# backend (jax.process_count()) is NOT an option here: it would initialize
+# the backend, after which jax.distributed.initialize() is too late — and
+# pre-init it always answers 1 anyway.
+_MULTIHOST_ENV_VARS = (
+    "COVA_COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",  # multi-host TPU slice (GCE metadata-injected)
+)
+
+
+def _looks_multihost() -> bool:
+    return any(os.environ.get(v) for v in _MULTIHOST_ENV_VARS)
 
 
 def initialize(
@@ -31,21 +50,35 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize jax.distributed when running multi-host. Safe to call
-    unconditionally; a single-process run returns immediately."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    kwargs = {}
+    """Wire ``jax.distributed`` for a multi-host run.
+
+    MUST be called before anything touches the JAX backend — including
+    ``jax.devices()`` / ``jax.process_count()``, which initialize it as a
+    side effect. Call order, not discovery, is the whole contract here.
+
+    * explicit coordinator args -> ``jax.distributed.initialize(...)`` with
+      them (manual launchers);
+    * no args but a multi-host environment (coordinator env var or a TPU
+      pod slice) -> argless ``jax.distributed.initialize()``, which
+      auto-discovers the topology — on multi-host TPU this call is
+      REQUIRED, or every host sees only its local chips;
+    * single-process run -> no-op, so one code path serves laptop and pod.
+
+    Idempotent: repeat calls return immediately.
+    """
+    global _initialized
+    if _initialized:
+        return
     if coordinator_address is not None:
-        kwargs = dict(
+        jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        jax.distributed.initialize(**kwargs)
-    # On TPU pods with no explicit coordinator, the runtime injects the
-    # topology; jax.distributed.initialize() with no args would also work
-    # but is unnecessary for single-host runs.
+        _initialized = True
+    elif _looks_multihost():
+        jax.distributed.initialize()
+        _initialized = True
 
 
 def host_shard_args() -> Tuple[int, int]:

@@ -34,9 +34,54 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the (data, model) mesh `cova train` runs on, or None for the
+    plain single-device path.
+
+    ``cfg.num_devices``: 0 = all available, 1 = single device (no mesh),
+    N > 1 = exactly N. ``cfg.model_parallel`` splits those devices into a
+    tensor-parallel axis for the wide decoder/GAT kernels. The global batch
+    must divide evenly over the data axis — the train step's CE-*sum* loss
+    (reference ``main.py:139``) makes the batch dimension semantic, so
+    silently resizing it would change the gradient scale.
+    """
+    n = cfg.num_devices
+    if n == 0:
+        n = len(jax.devices())
+    if n <= 1:
+        return None
+    if n > len(jax.devices()):
+        raise ValueError(
+            f"num_devices={n} but only {len(jax.devices())} devices are "
+            "visible"
+        )
+    n_model = max(1, cfg.model_parallel)
+    if n % n_model != 0:
+        raise ValueError(
+            f"num_devices={n} not divisible by model_parallel={n_model}"
+        )
+    n_data = n // n_model
+    if cfg.batch_size % n_data != 0:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} must be divisible by the data-"
+            f"parallel degree {n_data} (num_devices={n} / "
+            f"model_parallel={n_model})"
+        )
+    return make_mesh(n_data=n_data, n_model=n_model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))
+
+
+def eval_batch_sharding(mesh: Mesh, eval_batch_size: int) -> NamedSharding:
+    """Eval batches shard over data when the (reference-fixed, =10) eval
+    batch size divides; otherwise replicate — correct either way, the
+    sharded case just avoids redundant compute."""
+    if eval_batch_size % mesh.shape["data"] == 0:
+        return batch_sharding(mesh)
+    return replicated(mesh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -103,6 +148,11 @@ def state_shardings(state: Any, mesh: Mesh):
         batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
         opt_state=opt_shard,
     )
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState onto the mesh per ``state_shardings``."""
+    return jax.device_put(state, state_shardings(state, mesh))
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -41,10 +41,15 @@ def run_eval(
     split_name: str = "VAL",
     log_file: Optional[str] = None,
     k: int = 1,
+    sharding=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Evaluate one split. Returns (img_acc [n_imgs, n_classes] int32 with
     img_id in column 0, class_acc [n_classes] percentages) — the reference
-    ``evaluate_model`` contract (``train.py:99-171``)."""
+    ``evaluate_model`` contract (``train.py:99-171``).
+
+    ``sharding``: optional placement for eval batches when the state lives
+    on a mesh (see ``parallel.mesh.eval_batch_sharding``).
+    """
     start = time.time()
     eval_bs = pipeline.batch_size
     rows: List[List[int]] = []
@@ -52,6 +57,10 @@ def run_eval(
     for ids, batch in pipeline.epoch(epoch=0):
         b = batch.batch_size
         batch, _ = pad_batch(batch, eval_bs)
+        if sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), sharding), batch
+            )
         out = eval_step(state, batch, n_classes=n_classes)
         pending.append((ids, b, out["correct"]))
     for ids, b, correct in pending:
@@ -86,8 +95,16 @@ def fit(
     metrics: Optional[MetricsLogger] = None,
     class_names=("BG", "Price", "Title", "Image"),
     resume: bool = False,
+    mesh=None,
 ) -> Tuple[TrainState, float]:
     """Train with early stopping; returns (best-restored state, best val acc).
+
+    ``mesh``: optional (data, model) ``jax.sharding.Mesh``. When given, the
+    state is placed per ``parallel.mesh.state_shardings`` and every batch is
+    sharded over the data axis; the jitted ``train_step`` is unchanged — XLA
+    inserts the gradient psums from the shardings, and the CE-sum loss keeps
+    its global-batch gradient scale (the sum runs over the whole sharded
+    batch inside one XLA program).
     """
     metrics = metrics or MetricsLogger(None)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -111,6 +128,21 @@ def fit(
             log_file,
         )
 
+    # Mesh placement happens after any resume restore (restore returns host
+    # arrays; sharding them here covers both paths).
+    train_sharding = None
+    val_sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import (
+            batch_sharding,
+            eval_batch_sharding,
+            shard_train_state,
+        )
+
+        state = shard_train_state(state, mesh)
+        train_sharding = batch_sharding(mesh)
+        val_sharding = eval_batch_sharding(mesh, val_pipeline.batch_size)
+
     # Profiling hook (reference has only wall-clock epoch lines,
     # train.py:32,62-71): set COVA_PROFILE_DIR to capture a jax.profiler
     # trace of the first training steps for xprof/tensorboard.
@@ -129,7 +161,8 @@ def fit(
             (ids, pad_batch(b, cfg.batch_size)[0])
             for ids, b in train_pipeline.epoch(epoch=epoch)
         )
-        for _, batch in device_prefetch(padded, size=2):
+        for _, batch in device_prefetch(padded, size=2,
+                                        sharding=train_sharding):
             rng, step_rng = jax.random.split(rng)
             state, m = train_step(state, batch, step_rng)
             step_metrics.append(m)
@@ -165,7 +198,7 @@ def fit(
         ):
             _, class_acc = run_eval(
                 state, val_pipeline, cfg.n_classes, class_names, "VAL",
-                log_file,
+                log_file, sharding=val_sharding,
             )
             eval_acc = float(class_acc[1:].mean())
             metrics.log("val", epoch=epoch, avg_class_acc=eval_acc)
