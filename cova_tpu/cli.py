@@ -58,6 +58,12 @@ def _add_common_flags(p: argparse.ArgumentParser):
                         "(wide decoder/GAT kernels)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the last checkpoint if present")
+    p.add_argument("--init_checkpoint", default=None, metavar="PATH.pth",
+                   help="torchvision ResNet state_dict (.pth) to initialize "
+                        "the backbone from — the reference's "
+                        "resnet18(pretrained=True) init (models.py:49-51); "
+                        "this environment has no egress, so the user "
+                        "supplies the file")
     p.add_argument("--synthetic", type=int, default=0, metavar="N_PAGES",
                    help="use N synthetic pages instead of data_dir "
                         "(smoke runs without the external dataset)")
@@ -174,6 +180,21 @@ def cmd_train(args) -> int:
     cfg, model, state, train_p, val_p, test_p = _build(
         cfg, train_ds, val_ds, test_ds
     )
+
+    if getattr(args, "init_checkpoint", None):
+        from .utils.torch_port import load_torch_file, port_backbone_for
+
+        bp, bs = port_backbone_for(
+            cfg.backbone, load_torch_file(args.init_checkpoint)
+        )
+        state = state.replace(
+            params={**state.params, "convnet": bp},
+            batch_stats={**state.batch_stats, "convnet": bs},
+        )
+        print(
+            f"Initialized {cfg.backbone} backbone from "
+            f"{args.init_checkpoint}"
+        )
 
     os.makedirs(cfg.results_dir, exist_ok=True)
     log_file = cfg.log_file()

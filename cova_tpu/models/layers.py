@@ -17,6 +17,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # torch nn.Linear / nn.Conv2d default kernel init: U(+-1/sqrt(fan_in)).
@@ -94,14 +95,18 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            red = tuple(range(x.ndim - 1))
             if mask is None:
-                m = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+                # Unmasked (e.g. image-level BatchNorm2d over NHWC): plain
+                # reductions, static count.
+                cnt = jnp.float32(np.prod(x.shape[:-1]))
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.mean(xf**2, axis=red) - mean**2
             else:
                 m = mask.astype(jnp.float32)[..., None]
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
-            red = tuple(range(x.ndim - 1))
-            mean = jnp.sum(xf * m, axis=red) / cnt
-            var = jnp.sum((xf**2) * m, axis=red) / cnt - mean**2
+                cnt = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(xf * m, axis=red) / cnt
+                var = jnp.sum((xf**2) * m, axis=red) / cnt - mean**2
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 # torch: running update uses the *unbiased* batch variance.

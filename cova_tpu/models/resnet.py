@@ -84,18 +84,25 @@ class StemConv(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """torch-flavoured BatchNorm2d wrapper (momentum 0.1, eps 1e-5)."""
+    """torch-exact BatchNorm2d wrapper (momentum 0.1, eps 1e-5).
+
+    Uses MaskedBatchNorm (mask=None) rather than flax ``nn.BatchNorm``: the
+    flax version updates running variance with the *biased* batch variance,
+    torch with the *unbiased* one — a small but real parity gap when porting
+    or serving torch checkpoints. The inner module is named ``BatchNorm_0``
+    so parameter/stat tree paths stay identical to the flax layout used by
+    round-1 checkpoints and ``utils.torch_port``.
+    """
 
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,  # flax decay == 1 - torch momentum(0.1)
-            epsilon=1e-5,
-            dtype=self.dtype,
-        )(x)
+        from .layers import MaskedBatchNorm
+
+        return MaskedBatchNorm(
+            features=x.shape[-1], dtype=self.dtype, name="BatchNorm_0"
+        )(x, None, use_running_average=not train)
 
 
 class BasicBlock(nn.Module):

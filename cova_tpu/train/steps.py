@@ -169,6 +169,30 @@ def eval_step(state: TrainState, batch: Batch, n_classes: int = 4):
     return {"correct": correct, "present": present, "logits": out.logits}
 
 
+@functools.partial(jax.jit, static_argnames=("n_classes",))
+def eval_chunk_step(
+    state: TrainState, batches: Batch, n_classes: int = 4
+) -> jnp.ndarray:
+    """Metric over a CHUNK of eval batches in one dispatch.
+
+    ``batches``: a Batch pytree whose leaves carry a leading chunk dim
+    [G, B, ...]; the body compiles once and ``lax.scan``s over G. This makes
+    the eval epoch's dispatch count ceil(n_batches / G) instead of
+    n_batches — the per-dispatch round-trip (significant through
+    high-latency links) amortizes over G batches. Returns correctness
+    [G, B, n_classes-1].
+    """
+
+    def body(b: Batch) -> jnp.ndarray:
+        out = _apply(state, state.params, b, train=False)
+        correct, _ = retrieval_metric(
+            out.logits, b.labels, b.box_mask, n_classes
+        )
+        return correct
+
+    return jax.lax.map(body, batches)
+
+
 @jax.jit
 def forward_step(state: TrainState, batch: Batch):
     """Plain inference returning logits + attention weights."""

@@ -30,7 +30,7 @@ from ..utils.checkpoint import (
     save_train_state,
 )
 from ..utils.logging import MetricsLogger, print_and_log
-from .steps import TrainState, eval_step, train_step
+from .steps import TrainState, eval_chunk_step, train_step
 
 
 def run_eval(
@@ -49,24 +49,55 @@ def run_eval(
 
     ``sharding``: optional placement for eval batches when the state lives
     on a mesh (see ``parallel.mesh.eval_batch_sharding``).
+
+    The epoch runs in CHUNKS of ``COVA_EVAL_CHUNK`` (default 8) batches per
+    jitted dispatch (``eval_chunk_step``): the reference dispatches one
+    kernel launch per 10-page batch (``train.py:115-129``); here the
+    per-dispatch round-trip amortizes over the chunk, and correctness
+    fetches happen once at the end of the epoch.
     """
     start = time.time()
     eval_bs = pipeline.batch_size
+    chunk = max(1, int(os.environ.get("COVA_EVAL_CHUNK", "8")))
     rows: List[List[int]] = []
-    pending = []  # (ids, device correctness) — fetch lazily
+    pending = []  # ([(ids, b)], device correctness [G,B,C-1]) — fetch lazily
+    chunk_sharding = None
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        chunk_sharding = NamedSharding(
+            sharding.mesh, PartitionSpec(None, *sharding.spec)
+        )
+
+    def flush(buf):
+        if not buf:
+            return
+        group = [batch for _, _, batch in buf]
+        while len(group) < chunk:  # pad to the static chunk shape
+            group.append(group[-1])
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+        if chunk_sharding is not None:
+            stacked = jax.tree.map(
+                lambda x: jax.device_put(x, chunk_sharding), stacked
+            )
+        correct = eval_chunk_step(state, stacked, n_classes=n_classes)
+        pending.append(([(ids, b) for ids, b, _ in buf], correct))
+
+    buf = []
     for ids, batch in pipeline.epoch(epoch=0):
         b = batch.batch_size
         batch, _ = pad_batch(batch, eval_bs)
-        if sharding is not None:
-            batch = jax.tree.map(
-                lambda x: jax.device_put(np.asarray(x), sharding), batch
-            )
-        out = eval_step(state, batch, n_classes=n_classes)
-        pending.append((ids, b, out["correct"]))
-    for ids, b, correct in pending:
-        c = np.asarray(correct)[:b].astype(np.int32)
-        for i, page_id in enumerate(ids):
-            rows.append([int(page_id)] + list(c[i]))
+        buf.append((ids, b, batch))
+        if len(buf) == chunk:
+            flush(buf)
+            buf = []
+    flush(buf)
+
+    for group, correct in pending:
+        c_np = np.asarray(correct).astype(np.int32)  # [G, B, C-1]
+        for g, (ids, b) in enumerate(group):
+            for i, page_id in enumerate(ids[:b]):
+                rows.append([int(page_id)] + list(c_np[g, i]))
     img_acc = np.array(rows, dtype=np.int32)
     class_acc = np.zeros(n_classes)
     class_acc[1:] = img_acc[:, 1:].mean(0) * 100

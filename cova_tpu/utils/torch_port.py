@@ -79,6 +79,93 @@ def port_resnet18_stem(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
     return _backbone_trees(state_dict, "conv1", "bn1", "layer1")
 
 
+def _port_basic_block(sd: Mapping[str, Any], tp: str) -> Tuple[Dict, Dict]:
+    """torchvision BasicBlock at key prefix ``tp`` -> (params, stats) with
+    our auto-naming (Conv_0/1 + BatchNorm_0/1, downsample Conv_2 +
+    BatchNorm_2)."""
+    bp: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for ci, (cname, bname) in enumerate([("conv1", "bn1"), ("conv2", "bn2")]):
+        bp[f"Conv_{ci}"] = {"kernel": _conv(sd, f"{tp}.{cname}.weight")}
+        p, s = _bn(sd, f"{tp}.{bname}")
+        bp[f"BatchNorm_{ci}"] = {"BatchNorm_0": p}
+        bs[f"BatchNorm_{ci}"] = {"BatchNorm_0": s}
+    if f"{tp}.downsample.0.weight" in sd:
+        bp["Conv_2"] = {"kernel": _conv(sd, f"{tp}.downsample.0.weight")}
+        p, s = _bn(sd, f"{tp}.downsample.1")
+        bp["BatchNorm_2"] = {"BatchNorm_0": p}
+        bs["BatchNorm_2"] = {"BatchNorm_0": s}
+    return bp, bs
+
+
+def _port_bottleneck(sd: Mapping[str, Any], tp: str) -> Tuple[Dict, Dict]:
+    """torchvision Bottleneck -> our Bottleneck (Conv_0/1/2 + BatchNorm_0/1/2,
+    downsample Conv_3 + BatchNorm_3)."""
+    bp: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for ci, (cname, bname) in enumerate(
+        [("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")]
+    ):
+        bp[f"Conv_{ci}"] = {"kernel": _conv(sd, f"{tp}.{cname}.weight")}
+        p, s = _bn(sd, f"{tp}.{bname}")
+        bp[f"BatchNorm_{ci}"] = {"BatchNorm_0": p}
+        bs[f"BatchNorm_{ci}"] = {"BatchNorm_0": s}
+    if f"{tp}.downsample.0.weight" in sd:
+        bp["Conv_3"] = {"kernel": _conv(sd, f"{tp}.downsample.0.weight")}
+        p, s = _bn(sd, f"{tp}.downsample.1")
+        bp["BatchNorm_3"] = {"BatchNorm_0": p}
+        bs["BatchNorm_3"] = {"BatchNorm_0": s}
+    return bp, bs
+
+
+def port_resnet_backbone(
+    state_dict: Mapping[str, Any],
+    stage_sizes=(2, 2, 2, 2),
+    n_stages: int = 1,
+    bottleneck: bool = False,
+) -> Tuple[Dict, Dict]:
+    """torchvision ResNet state_dict -> (params, batch_stats) for any
+    ``models.resnet.ResNetBackbone`` truncation — the pretrained-ImageNet
+    init path (the reference constructs ``resnet18(pretrained=True)``,
+    ``/root/reference/models.py:49-51``).
+
+    Handles every backbone in ``make_backbone``'s registry: the truncated
+    ``*_stem`` variants (n_stages=1), the full resnet18/34 (BasicBlock with
+    downsample convs on stages 2-4), and resnet50 (Bottleneck; downsample on
+    every stage's first block including stage 1).
+    """
+    sd = state_dict
+    params: Dict[str, Any] = {"Conv_0": {"kernel": _conv(sd, "conv1.weight")}}
+    stats: Dict[str, Any] = {}
+    p, s = _bn(sd, "bn1")
+    params["BatchNorm_0"] = {"BatchNorm_0": p}
+    stats["BatchNorm_0"] = {"BatchNorm_0": s}
+    port_block = _port_bottleneck if bottleneck else _port_basic_block
+    block_name = "Bottleneck" if bottleneck else "BasicBlock"
+    bi = 0
+    for stage in range(n_stages):
+        for blk in range(stage_sizes[stage]):
+            bp, bs = port_block(sd, f"layer{stage + 1}.{blk}")
+            params[f"{block_name}_{bi}"] = bp
+            stats[f"{block_name}_{bi}"] = bs
+            bi += 1
+    return params, stats
+
+
+def port_backbone_for(backbone: str, state_dict) -> Tuple[Dict, Dict]:
+    """Port a torchvision ResNet state_dict for a named ``make_backbone``
+    variant (see ``models.resnet``)."""
+    table = {
+        "resnet18_stem": ((2, 2, 2, 2), 1, False),
+        "resnet18": ((2, 2, 2, 2), 4, False),
+        "resnet34_stem": ((3, 4, 6, 3), 1, False),
+        "resnet50_stem": ((3, 4, 6, 3), 1, True),
+        "resnet50": ((3, 4, 6, 3), 4, True),
+    }
+    stage_sizes, n_stages, bottleneck = table[backbone]
+    return port_resnet_backbone(state_dict, stage_sizes, n_stages, bottleneck)
+
+
 def _visual_row_perm(n_feat: int, roi: int = 3, channels: int = 64):
     """Row permutation for weight matrices consuming the feature vector.
 

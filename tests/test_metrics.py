@@ -88,3 +88,36 @@ def test_masked_ce_sum_matches_torch(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_run_eval_chunk_invariance(tiny_cfg, monkeypatch):
+    """run_eval's chunked dispatch (eval_chunk_step) must be a pure
+    performance change: identical img_acc for any COVA_EVAL_CHUNK."""
+    import jax
+
+    from cova_tpu.data.pipeline import DataPipeline
+    from cova_tpu.data.synthetic import InMemoryWebDataset
+    from cova_tpu.models.cova import build_model
+    from cova_tpu.train.steps import create_train_state
+    from cova_tpu.train.trainer import run_eval
+
+    cfg = tiny_cfg
+    ds = InMemoryWebDataset(7, cfg.img_height, seed=5,
+                            max_boxes=cfg.max_boxes)
+    pipe = DataPipeline(ds, batch_size=2, pad_boxes=cfg.pad_boxes,
+                        context_size=cfg.context_size, shuffle=False,
+                        num_threads=2)
+    model = build_model(cfg)
+    _, ex = next(iter(pipe.epoch(0)))
+    state = create_train_state(model, cfg, ex, jax.random.PRNGKey(0))
+
+    results = []
+    for chunk in ("1", "3", "8"):
+        monkeypatch.setenv("COVA_EVAL_CHUNK", chunk)
+        img_acc, class_acc = run_eval(
+            state, pipe, cfg.n_classes, ("BG", "Price", "Title", "Image")
+        )
+        results.append((img_acc, class_acc))
+    for img_acc, class_acc in results[1:]:
+        np.testing.assert_array_equal(img_acc, results[0][0])
+        np.testing.assert_array_equal(class_acc, results[0][1])
