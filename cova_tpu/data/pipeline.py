@@ -119,24 +119,24 @@ class DataPipeline:
             and hasattr(self.ds, "img_paths")
         )
 
-        def make_batch(idxs):
-            if use_native_batch:
-                from . import native_loader
+        def make_native_batch(idxs, pool):
+            from . import native_loader
 
-                pages = [
-                    self._make_page(epoch, int(i)) for i in idxs
-                ]
-                imgs = native_loader.decode_png_batch(
-                    [self.ds.img_paths[int(i)] for i in idxs],
-                    self.ds.img_size,
-                    self.ds.img_size,
-                    nthreads=self.num_threads,
-                )
-                return collate(list(imgs), pages)
-            examples = [
-                self._make_example(epoch, int(i)) for i in idxs
-            ]
-            return collate([e[0] for e in examples], [e[1] for e in examples])
+            # Page building (BG sampling, context windows, padding) runs on
+            # the Python pool CONCURRENTLY with the C++ decode below:
+            # Executor.map submits every task immediately, and
+            # decode_png_batch releases the GIL inside the libpng pthread
+            # pool, so both proceed in parallel on multi-core hosts.
+            pages_iter = pool.map(
+                lambda i: self._make_page(epoch, int(i)), idxs
+            )
+            imgs = native_loader.decode_png_batch(
+                [self.ds.img_paths[int(i)] for i in idxs],
+                self.ds.img_size,
+                self.ds.img_size,
+                nthreads=self.num_threads,
+            )
+            return collate(list(imgs), list(pages_iter))
 
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
@@ -148,7 +148,7 @@ class DataPipeline:
                     ]
                     try:
                         if use_native_batch:
-                            batch = make_batch(idxs)
+                            batch = make_native_batch(idxs, pool)
                             page_ids = [
                                 self.ds.ids[int(i)] for i in idxs
                             ]
