@@ -24,6 +24,16 @@ out_h*out_w]``. Per (image, channel-block) program:
 
 Semantics match ``torchvision.ops.roi_pool`` (quantization, inclusive-end
 widths, empty bins -> 0); see ``roi_pool.py`` for the rules and citations.
+
+Two-pass backward: TRIED AND REJECTED (round 2, measured on v5e). A
+variant that saved per-(box, bin, channel) argmax indices in the forward
+and expanded them to one-hot adds in the backward measured fwd 12.7 ms /
+fwd+bwd 24.7 ms at B=8 vs this kernel's 4.4 / 15.6: the kernel is VPU- and
+loop-bound, not memory-bound, so dropping the fm re-read bought nothing
+while the forward's argmax tracking (~2x the per-chunk vector ops) and the
+idx output block (int32, +VMEM, forcing cb 32->16) cost plenty. Don't
+retry index materialization; only a formulation that cuts the per-(box,
+bin) [8, cb, W]-sized vector work would move this op.
 """
 
 from __future__ import annotations
@@ -202,20 +212,63 @@ def _unfold_out(t, b, p, out_h, out_w, n_cb, cb):
     )
 
 
-def _pick_cb(
-    c: int, h: int = 320, w: int = 320, itemsize: int = 2,
-    budget_bytes: int = 15 * 1024 * 1024, cap: int = 32, batch: int = 8,
-) -> int:
-    """Largest channel block whose [h, cb, w] VMEM slab (double-buffered by
-    the Pallas pipeline) fits the budget — geometry-aware so larger feature
-    maps (e.g. the 2x-resolution stretch config) shrink the block instead
-    of overflowing VMEM. Scoped VMEM pressure also grows ~0.12 MB per batch
-    image (measured: B=8 compiles at cb=32, B=32 overflows by 2.6 MB), so
-    the batch term demotes the block size for very large batches."""
+def _lanes(n: int) -> int:
+    """VMEM blocks round their minor (lane) dimension up to 128 — the
+    pooled/gradient blocks' ohw=9 minor dim really costs 128 lanes (a 14x
+    inflation that round 1's empirical "batch * 0.12 MB" fudge was papering
+    over), and the slab's w=320 costs 384."""
+    return ((n + 127) // 128) * 128
+
+
+def _fwd_vmem_bytes(h, w, cb, p, ohw, itemsize, b, c) -> int:
+    """Modeled scoped-VMEM demand of one FORWARD grid program:
+
+      * the [h, cb, w] feature slab (double-buffered by the Pallas
+        pipeline, lanes padded);
+      * the pooled output block [p, cb, ohw->128];
+      * the ENTIRE pooled output array: XLA stacks small pallas outputs
+        whole in VMEM (S(1) in its OOM reports, unpadded size) — this is
+        the term that actually scales with batch size.
+    """
+    return (
+        2 * h * cb * _lanes(w) * itemsize
+        + 2 * p * cb * _lanes(ohw) * itemsize
+        + b * p * ohw * c * itemsize
+    )
+
+
+def _bwd_vmem_bytes(h, w, cb, p, ohw, itemsize) -> int:
+    """Backward holds TWO slabs (fm in + dfm out) and two per-box blocks
+    (pooled + g). The whole dfm output (B x the feature map) is far too
+    large for VMEM, so there is no batch term."""
+    return (
+        2 * (2 * h * cb * _lanes(w) * itemsize)
+        + 2 * (2 * p * cb * _lanes(ohw) * itemsize)
+    )
+
+
+# Calibrated against observed compiles on v5e (bf16, 320x320, P=232):
+#   fwd cb=32 B=8  -> model 21.6 MB, compiles;   fwd cb=32 B=32 -> 28.0, OOM
+#   fwd cb=16 B=32 -> 18.3, compiles;            bwd cb=32      -> 39.0, OOM
+#   bwd cb=16      -> 19.6, compiles
+# (The compiler reports a 16 MB scoped limit but single-buffers some blocks
+# the model double-counts, so the effective budget sits between the largest
+# compiling model value, 21.6, and the smallest failing one, 22.25.)
+_SCOPED_VMEM_BUDGET = int(21.8e6)
+
+
+def _pick_cb(c: int, bytes_at) -> int:
+    """Largest channel block whose modeled footprint fits the budget.
+    COVA_ROI_CB overrides for experiments."""
+    import os
+
+    forced = os.environ.get("COVA_ROI_CB")
+    if forced:
+        return int(forced)
     for cb in (32, 16, 8, 4, 2, 1):
-        if cb > cap or c % cb != 0 or cb > c:
+        if c % cb != 0 or cb > c:
             continue
-        if 2 * h * cb * w * itemsize + batch * 122_880 <= budget_bytes:
+        if bytes_at(cb) <= _SCOPED_VMEM_BUDGET:
             return cb
     return 1
 
@@ -239,7 +292,11 @@ def _roi_pool_fwd_impl(
 ):
     b, h, w, c = fm.shape
     p = boxes.shape[1]
-    cb = _pick_cb(c, h, w, fm.dtype.itemsize, batch=b)
+    ohw = out_h * out_w
+    cb = _pick_cb(
+        c,
+        lambda cb: _fwd_vmem_bytes(h, w, cb, p, ohw, fm.dtype.itemsize, b, c),
+    )
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 1)
@@ -267,11 +324,11 @@ def _roi_pool_bwd_impl(
 ):
     b, h, w, c = fm.shape
     p = boxes.shape[1]
-    # Smaller channel blocks than forward: the bwd holds fm AND dfm blocks
-    # (plus pooled/g) and Pallas double-buffers across grid steps — cb=32
-    # would need ~30 MB of scoped VMEM.
-    cb = _pick_cb(c, h, w, fm.dtype.itemsize,
-                  budget_bytes=8 * 1024 * 1024, cap=16, batch=b)
+    ohw = out_h * out_w
+    # Smaller channel blocks than forward: the bwd holds fm AND dfm slabs.
+    cb = _pick_cb(
+        c, lambda cb: _bwd_vmem_bytes(h, w, cb, p, ohw, fm.dtype.itemsize)
+    )
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
     fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 3)
