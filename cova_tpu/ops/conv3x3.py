@@ -79,6 +79,102 @@ def _kernel(x_ref, w_ref, out_ref, slabs, sems, *, m_tile, w8, slot):
     out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
 
+def _roll_kernel(x_ref, w_ref, out_ref, slab, sem, *, m_tile, w8, slot):
+    """Output-stationary variant: ONE un-shifted slab DMA per tile; the
+    dx=+-1 taps become pltpu.roll on the f32 matmul OUTPUT panels (roll is
+    only implemented for 32-bit data — bf16 inputs cannot be rolled, which
+    is why the shift rides the output side). An 8-row margin at each end of
+    the m_ext window absorbs the roll wrap-around, and every slice start
+    (dy*w8, margin trim) is sublane-aligned by construction.
+
+    x_ref: [B, L, slot] HBM; slab: [slab_rows, slot] VMEM scratch rows
+    F[m0 : m0+slab_rows) where F carries a (w8+9)-zero front pad so slab
+    row k*w8 + r holds the (dy=k-1, dx=-1) tap of output row m0 - 8 + r.
+    """
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
+    m0 = t * m_tile
+    m_ext = m_tile + 16
+
+    dma = pltpu.make_async_copy(
+        x_ref.at[bi, pl.ds(m0, slab.shape[0]), :], slab, sem
+    )
+    dma.start()
+    dma.wait()
+
+    acc = jnp.zeros((m_ext, out_ref.shape[-1]), jnp.float32)
+    for k in range(3):
+        a = slab[pl.ds(k * w8, m_ext), :]  # aligned: w8, m_ext mult of 8
+        for j in range(3):
+            s = k * 3 + j
+            p = jnp.dot(
+                a,
+                w_ref[s * slot : (s + 1) * slot, :],
+                preferred_element_type=jnp.float32,
+            )
+            # P[r] contributes to output row r - j; j=0 adds in place.
+            acc = acc + (p if j == 0 else pltpu.roll(p, m_ext - j, 0))
+    out_ref[0, :, :] = acc[8 : 8 + m_tile].astype(out_ref.dtype)
+
+
+def _conv3x3_roll_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
+                       interpret: bool):
+    b, h, wdt, c = x.shape
+    o = w.shape[-1]
+    slot = _slot_width(c)
+    hp = h + 2
+    w8 = _round8(wdt + 2)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w8 - wdt - 1), (0, 0)))
+    flat = xp.reshape(b, hp * w8, c)
+    n_tiles = -(-(hp * w8) // m_tile)
+    m_ext = m_tile + 16
+    # Slab for tile t covers F[m0 : m0 + slab_rows); front pad w8 + 9 makes
+    # slab row k*w8 + r the (dy=k-1, dx=-1) tap of output row m0 - 8 + r,
+    # with every DMA start sublane-aligned (m0 is a multiple of m_tile).
+    slab_rows = _round8(m_ext + 2 * w8)
+    front = w8 + 9
+    back = max(0, (n_tiles - 1) * m_tile + slab_rows - hp * w8 - front) + 8
+    flat = jnp.pad(flat, ((0, 0), (front, back), (0, slot - c)))
+
+    wpad = jnp.zeros((9 * slot, o), w.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            s = dy * 3 + dx
+            wpad = jax.lax.dynamic_update_slice(
+                wpad, w[dy, dx], (s * slot, 0)
+            )
+    wpad = wpad.astype(x.dtype)
+
+    out_flat = pl.pallas_call(
+        functools.partial(_roll_kernel, m_tile=m_tile, w8=w8, slot=slot),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (9 * slot, o), lambda bi, ti: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m_tile, o), lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * m_tile, o), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, slot), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(flat, wpad)
+
+    out = out_flat[:, : hp * w8, :].reshape(b, hp, w8, o)
+    return out[:, 1 : 1 + h, 1 : 1 + wdt, :]
+
+
 def _conv3x3_impl(x: jnp.ndarray, w: jnp.ndarray, m_tile: int,
                   interpret: bool):
     b, h, wdt, c = x.shape
@@ -173,6 +269,14 @@ def _bwd(m_tile, interpret, res, g):
 
 
 conv3x3.defvjp(_fwd, _bwd)
+
+
+def conv3x3_roll(x: jnp.ndarray, w: jnp.ndarray, m_tile: int = 2048,
+                 interpret: bool = False):
+    """Experimental output-stationary 3x3 conv (see ``_roll_kernel``).
+    Forward only — gets a custom_vjp like ``conv3x3`` if it ever wins the
+    on-chip shoot-out (scripts/bench_conv.py)."""
+    return _conv3x3_roll_impl(x, w, m_tile, interpret)
 
 
 def use_pallas_conv() -> bool:

@@ -54,3 +54,21 @@ def test_gradients_match():
     np.testing.assert_allclose(
         np.asarray(dk_p), np.asarray(dk_r), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("shape,m_tile", [
+    ((1, 8, 8, 4), 16), ((2, 12, 10, 8), 40), ((1, 10, 10, 4), 48),
+])
+def test_roll_variant_forward_matches(shape, m_tile):
+    from cova_tpu.ops.conv3x3 import conv3x3_roll
+
+    rng = np.random.default_rng(3)
+    b, h, w, c = shape
+    o = 8
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, c, o)).astype(np.float32) * 0.1)
+    got = conv3x3_roll(x, k, m_tile, True)
+    want = conv3x3_reference(x, k)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )

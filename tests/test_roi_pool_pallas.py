@@ -97,3 +97,27 @@ def test_backward_sums_to_upstream():
     pooled = roi_pool_reference(fm, boxes, spatial_scale=0.25)
     nonempty = (np.abs(pooled) > 0).sum()  # empty bins contribute 0
     assert d.sum() == pytest.approx(nonempty, rel=1e-5)
+
+
+def test_pick_cb_calibrated_choices():
+    """The VMEM model must reproduce the on-chip-calibrated block choices
+    for the flagship geometry (v5e, bf16, 320x320, P=232): fwd cb=32 at
+    B=8 (4.44 ms measured), demoted to 16 at B=32; bwd cb=16 always."""
+    from cova_tpu.ops.roi_pool_pallas import (
+        _bwd_vmem_bytes,
+        _fwd_vmem_bytes,
+        _pick_cb,
+    )
+
+    fwd = lambda b: _pick_cb(  # noqa: E731
+        64, lambda cb: _fwd_vmem_bytes(320, 320, cb, 232, 9, 2, b, 64)
+    )
+    assert fwd(8) == 32
+    assert fwd(32) == 16
+    assert _pick_cb(
+        64, lambda cb: _bwd_vmem_bytes(320, 320, cb, 232, 9, 2)
+    ) == 16
+    # Stretch config (2x resolution) must demote rather than overflow.
+    assert _pick_cb(
+        64, lambda cb: _fwd_vmem_bytes(640, 640, cb, 232, 9, 2, 2, 64)
+    ) <= 16
