@@ -80,7 +80,8 @@ class MaskedBatchNorm(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray],
         use_running_average: bool,
-    ) -> jnp.ndarray:
+        return_coefficients: bool = False,
+    ):
         f = self.features
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
@@ -120,6 +121,15 @@ class MaskedBatchNorm(nn.Module):
                 )
 
         inv = jax.lax.rsqrt(var + self.eps)
+        if return_coefficients:
+            # Effective per-channel affine for a fused normalize kernel:
+            # y = x * scale_eff + shift_eff  ==  (x - mean)*inv*scale + bias
+            # (same stats/running-update math as the normalizing path).
+            scale_eff = inv * scale.astype(jnp.float32)
+            shift_eff = (
+                bias.astype(jnp.float32) - mean * scale_eff
+            )
+            return scale_eff, shift_eff
         y = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(
             jnp.float32
         )

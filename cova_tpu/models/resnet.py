@@ -97,12 +97,17 @@ class BatchNorm(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, return_coefficients: bool = False):
         from .layers import MaskedBatchNorm
 
         return MaskedBatchNorm(
             features=x.shape[-1], dtype=self.dtype, name="BatchNorm_0"
-        )(x, None, use_running_average=not train)
+        )(
+            x,
+            None,
+            use_running_average=not train,
+            return_coefficients=return_coefficients,
+        )
 
 
 class BasicBlock(nn.Module):
@@ -196,9 +201,24 @@ class ResNetBackbone(nn.Module):
             )(x)  # [B, U, V, 4*64]
             b, u, v, c4 = ys.shape
             grouped = ys.reshape(b, u, v * 4, 64)
-            grouped = BatchNorm(self.dtype)(grouped, train)
-            grouped = nn.relu(grouped)
-            x = stem_pool_s2d(grouped.reshape(b, u, v, c4))
+            from ..ops.bn_pool import (
+                bn_relu_pool_s2d,
+                bn_relu_pool_supported,
+                use_fused_pool,
+            )
+
+            if use_fused_pool() and bn_relu_pool_supported(ys.shape):
+                # One Pallas pass for normalize+relu+pool (ops/bn_pool.py);
+                # stats/running updates stay in the BN module (cheap, fuse
+                # into the conv). Same values as the unfused path below.
+                scale_eff, shift_eff = BatchNorm(self.dtype)(
+                    grouped, train, return_coefficients=True
+                )
+                x = bn_relu_pool_s2d(ys, scale_eff, shift_eff)
+            else:
+                grouped = BatchNorm(self.dtype)(grouped, train)
+                grouped = nn.relu(grouped)
+                x = stem_pool_s2d(grouped.reshape(b, u, v, c4))
         else:
             x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
             x = BatchNorm(self.dtype)(x, train)
