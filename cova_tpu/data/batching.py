@@ -21,11 +21,17 @@ from .records import PaddedPage
 class Batch(NamedTuple):
     """One statically-shaped training/eval batch (a JAX pytree).
 
-    ``images`` are uint8 NHWC; normalization to [0, 1] happens on-device
-    (the reference does ToTensor on host, ``datasets.py:41-45``).
+    ``images`` are uint8, shipped in space-to-depth(4) form
+    [B, H/4, W/4, 48] when H and W divide by 4 (raw [B, H, W, 3] NHWC
+    otherwise): a 3-channel tensor is lane-padded 3->128 in TPU tiled
+    memory, so rearranging on-device costs ~6 ms/step at the flagship
+    shape while the host-side bijection is free at the device
+    (``ops.conv_stem.s2d4_host``; the model accepts both layouts).
+    Normalization to [0, 1] happens on-device (the reference does
+    ToTensor on host, ``datasets.py:41-45``).
     """
 
-    images: np.ndarray  # [B, H, W, 3] uint8
+    images: np.ndarray  # [B, H/4, W/4, 48] (or [B, H, W, 3]) uint8
     boxes: np.ndarray  # [B, P, 4] float32 x1y1x2y2 (image coords)
     labels: np.ndarray  # [B, P] int32
     box_mask: np.ndarray  # [B, P] bool
@@ -41,6 +47,11 @@ def collate(
     images: Sequence[np.ndarray], pages: Sequence[PaddedPage]
 ) -> Batch:
     assert len(images) == len(pages)
+    h, w, c = images[0].shape
+    if c == 3 and h % 4 == 0 and w % 4 == 0:
+        from ..ops.conv_stem import s2d4_host
+
+        images = [s2d4_host(im) for im in images]
     return Batch(
         images=np.stack(images, 0),
         boxes=np.stack([p.boxes_xyxy for p in pages], 0),

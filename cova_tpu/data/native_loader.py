@@ -46,15 +46,16 @@ def load_library(path: Optional[str] = None) -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.cova_decode_png.restype = ctypes.c_int
-    lib.cova_decode_png_batch.argtypes = [
+    lib.cova_decode_png_batch_ex.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_ubyte),
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,
     ]
-    lib.cova_decode_png_batch.restype = ctypes.c_int
+    lib.cova_decode_png_batch_ex.restype = ctypes.c_int
     lib.cova_parse_bbox_csv.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_float),
@@ -87,22 +88,28 @@ def decode_png(path: str, h: int, w: int) -> np.ndarray:
 
 
 def decode_png_batch(
-    paths: Sequence[str], h: int, w: int, nthreads: int = 4
+    paths: Sequence[str], h: int, w: int, nthreads: int = 4,
+    s2d4: bool = False,
 ) -> np.ndarray:
-    """Decode a batch of PNGs to uint8 [n, h, w, 3] with a C thread pool."""
+    """Decode a batch of PNGs with a C thread pool. Returns uint8
+    [n, h, w, 3], or — with ``s2d4=True`` (h, w % 4 == 0) — the TPU input
+    layout [n, h/4, w/4, 48] (space-to-depth done in C right after each
+    decode, while the rows are cache-warm)."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
     n = len(paths)
-    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    shape = (n, h // 4, w // 4, 48) if s2d4 else (n, h, w, 3)
+    out = np.empty(shape, dtype=np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    failures = lib.cova_decode_png_batch(
+    failures = lib.cova_decode_png_batch_ex(
         arr,
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         h,
         w,
         nthreads,
+        1 if s2d4 else 0,
     )
     if failures:
         raise IOError(f"{failures}/{n} PNG decodes failed")

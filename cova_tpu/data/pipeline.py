@@ -130,11 +130,13 @@ class DataPipeline:
             pages_iter = pool.map(
                 lambda i: self._make_page(epoch, int(i)), idxs
             )
+            size = self.ds.img_size
             imgs = native_loader.decode_png_batch(
                 [self.ds.img_paths[int(i)] for i in idxs],
-                self.ds.img_size,
-                self.ds.img_size,
+                size,
+                size,
                 nthreads=self.num_threads,
+                s2d4=size % 4 == 0,  # emit the TPU layout from C directly
             )
             return collate(list(imgs), list(pages_iter))
 

@@ -92,10 +92,14 @@ class CoVA(nn.Module):
         )
 
     def visual_features(self, images_u8, boxes, box_mask, train: bool):
-        """images_u8: [B, H, W, 3] uint8; boxes: [B, P, 4]. -> [B, P, V]."""
+        """images_u8: [B, H, W, 3] uint8 or its host-side s2d(4) form
+        [B, H/4, W/4, 48] (``data.batching.collate`` ships the latter — the
+        3-channel layout is lane-pad-hostile on TPU); boxes: [B, P, 4].
+        -> [B, P, V]."""
         x = images_u8.astype(self.compute_dtype) / 255.0  # ToTensor parity
         fm = self.convnet(x, train=train)  # [B, H/4, W/4, C]
-        stride = images_u8.shape[1] // fm.shape[1]
+        img_h = images_u8.shape[1] * (4 if images_u8.shape[-1] == 48 else 1)
+        stride = img_h // fm.shape[1]
         impl = self.roi_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"

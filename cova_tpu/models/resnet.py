@@ -68,14 +68,19 @@ class StemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Accept either the raw RGB image or its host-side s2d(4) form
+        # (48 = 16*3 channels, ``ops.conv_stem.s2d4_host``); the kernel
+        # parameter stays [7, 7, 3, F] in both cases.
+        pre_s2d = x.shape[-1] == 48
+        cin = 3 if pre_s2d else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.he_normal(),
-            (7, 7, x.shape[-1], self.features),
+            (7, 7, cin, self.features),
             jnp.float32,
         )
         x = x.astype(self.dtype or x.dtype)
-        if x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        if pre_s2d or (x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
             if self.s2d_output:
                 return stem_conv_s2d(x, kernel)
             return stem_conv(x, kernel)
@@ -194,7 +199,9 @@ class ResNetBackbone(nn.Module):
         # Fast path: the conv's s2d(2) output feeds BN (grouped stats ==
         # BatchNorm2d over the H/2 map exactly), ReLU, and the slice-max
         # pool without ever materializing the H/2 x W/2 layout.
-        fused = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        fused = x.shape[-1] == 48 or (
+            x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        )
         if fused:
             ys = StemConv(
                 64, dtype=self.dtype, s2d_output=True, name="Conv_0"

@@ -1,9 +1,19 @@
 """Pallas 3x3 same-conv as nine aligned MXU matmuls.
 
-XLA's conv lowering reaches only ~20-30 TFLOP/s on this chip for the
-model's 3x3 convolutions (64ch residual blocks, the stem's s2d form), while
-plain matmuls measure ~144 TFLOP/s. This kernel feeds the conv to the MXU as
-matmuls over a row-major flattened image:
+CLOSED LEVER — measured verdict (scripts/bench_conv.py, B=8 320x320 64ch
+bf16 on v5e): XLA's lax.conv runs the shape at **70.6 TFLOP/s**, which is
+98% of the structural ceiling: with O=64 output channels only half of the
+MXU's 128 result lanes can carry data, capping ANY schedule at ~72 of the
+chip's 144 TFLOP/s. The Pallas variants measure 10.2 (output-roll, below)
+and 6.0 (dx-copy) — Mosaic inserts relayouts around the per-tap shifted
+operands that XLA's native conv emitter avoids. The round-1 "20-30
+TFLOP/s" conv estimate came from whole-step profiles where conv time was
+conflated with the surrounding BN/pool fusions (since excised into
+``ops/bn_pool.py``); on the isolated op there is nothing left to win.
+Both kernels are kept as negative results + regression oracles, gated off.
+
+This kernel feeds the conv to the MXU as matmuls over a row-major
+flattened image:
 
   * the image is zero-padded to (H+2, W8) with the padded row width W8
     rounded to a sublane multiple, then flattened row-major, so the nine

@@ -68,19 +68,42 @@ def _tap_index(kh: int, kw: int, cin: int, pad: int):
     return idx
 
 
+def s2d4_host(img: np.ndarray) -> np.ndarray:
+    """Host-side space-to-depth(4): [H, W, C] -> [H/4, W/4, 16*C], channel
+    order (dy, dx, c) — the layout ``stem_conv_s2d`` consumes directly.
+
+    Done on the host (numpy, any dtype) because on TPU the [.., 3]-channel
+    image lives lane-padded 3->128 in tiled HBM; the on-device rearrange
+    costs ~6 ms/step at the flagship shape vs ~0.9 ms for casting a
+    pre-s2d uint8 batch (measured, see ROADMAP). Byte count is identical
+    either way — s2d is a bijection.
+    """
+    h, w, c = img.shape
+    assert h % _F == 0 and w % _F == 0, (h, w)
+    return np.ascontiguousarray(
+        img.reshape(h // _F, _F, w // _F, _F, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(h // _F, w // _F, _F * _F * c)
+    )
+
+
 def stem_conv_s2d(x: jnp.ndarray, k7: jnp.ndarray) -> jnp.ndarray:
     """7x7 stride-2 pad-3 conv with the output left in s2d(2) form.
 
-    x: [B, H, W, 3] (H, W % 4 == 0); k7: [7, 7, 3, O].
+    x: [B, H, W, 3] (H, W % 4 == 0) or pre-s2d(4) [B, H/4, W/4, 48]
+    (``s2d4_host``); k7: [7, 7, 3, O].
     Returns [B, H/4, W/4, 4*O], channel order (ey, ex, o).
     """
-    b, h, w, cin = x.shape
-    kh, kw, _, o = k7.shape
+    kh, kw, cin, o = k7.shape
     pad = kh // 2
 
-    xs = einops.rearrange(
-        x, "b (u dy) (v dx) c -> b u v (dy dx c)", dy=_F, dx=_F
-    )  # [B, H/4, W/4, 48]
+    if x.shape[-1] == _F * _F * cin:
+        xs = x  # already s2d(4) on the host
+    else:
+        assert x.shape[-1] == cin, (x.shape, cin)
+        xs = einops.rearrange(
+            x, "b (u dy) (v dx) c -> b u v (dy dx c)", dy=_F, dx=_F
+        )  # [B, H/4, W/4, 48]
 
     idx = jnp.asarray(_tap_index(kh, kw, cin, pad))
     k_flat = jnp.concatenate(

@@ -125,10 +125,29 @@ int cova_decode_png(const char* path, unsigned char* out, int h, int w) {
 // Threaded batch decode
 // ---------------------------------------------------------------------------
 
+// Space-to-depth(4) of an RGB image: [h, w, 3] -> [h/4, w/4, 48], channel
+// order (dy, dx, c) — the layout the TPU stem conv consumes directly (a
+// 3-channel tensor is lane-padded 3->128 in TPU tiled memory; shipping the
+// s2d form avoids a ~6 ms/step on-device rearrange). Each inner copy moves
+// 4 pixels x 3 bytes = 12 contiguous bytes.
+void cova_s2d4(const unsigned char* in, unsigned char* out, int h, int w) {
+  int U = h / 4, V = w / 4;
+  for (int u = 0; u < U; u++) {
+    for (int dy = 0; dy < 4; dy++) {
+      const unsigned char* row = in + (size_t)(u * 4 + dy) * w * 3;
+      unsigned char* dst = out + (size_t)u * V * 48 + dy * 12;
+      for (int v = 0; v < V; v++) {
+        memcpy(dst + (size_t)v * 48, row + (size_t)v * 12, 12);
+      }
+    }
+  }
+}
+
 struct DecodeTask {
   const char** paths;
   unsigned char* out;
   int n, h, w;
+  int s2d4;          // nonzero: emit [h/4, w/4, 48] instead of [h, w, 3]
   int next;          // next index to claim
   int failures;      // count of failed decodes
   pthread_mutex_t mu;
@@ -136,27 +155,36 @@ struct DecodeTask {
 
 static void* decode_worker(void* arg) {
   DecodeTask* t = (DecodeTask*)arg;
+  size_t img_bytes = (size_t)t->h * t->w * 3;  // same total in s2d form
+  unsigned char* tmp = nullptr;
+  if (t->s2d4) tmp = (unsigned char*)malloc(img_bytes);
   for (;;) {
     pthread_mutex_lock(&t->mu);
     int i = t->next++;
     pthread_mutex_unlock(&t->mu);
     if (i >= t->n) break;
-    int rc = cova_decode_png(t->paths[i], t->out + (size_t)i * t->h * t->w * 3,
-                             t->h, t->w);
+    unsigned char* slot = t->out + (size_t)i * img_bytes;
+    unsigned char* target = t->s2d4 ? tmp : slot;
+    int rc = cova_decode_png(t->paths[i], target, t->h, t->w);
     if (rc != 0) {
       pthread_mutex_lock(&t->mu);
       t->failures++;
       pthread_mutex_unlock(&t->mu);
+    } else if (t->s2d4) {
+      cova_s2d4(tmp, slot, t->h, t->w);
     }
   }
+  free(tmp);
   return nullptr;
 }
 
-// Decode n PNGs into out (n contiguous [h, w, 3] slabs) using `nthreads`
-// worker threads. Returns the number of failed decodes (0 == all good).
-int cova_decode_png_batch(const char** paths, int n, unsigned char* out,
-                          int h, int w, int nthreads) {
+// Decode n PNGs into out (n contiguous [h, w, 3] slabs — or, with
+// s2d4 != 0, n contiguous [h/4, w/4, 48] space-to-depth slabs) using
+// `nthreads` worker threads. Returns the number of failed decodes.
+int cova_decode_png_batch_ex(const char** paths, int n, unsigned char* out,
+                             int h, int w, int nthreads, int s2d4) {
   if (n <= 0) return 0;
+  if (s2d4 && (h % 4 || w % 4)) return -1;
   if (nthreads < 1) nthreads = 1;
   if (nthreads > n) nthreads = n;
 
@@ -166,6 +194,7 @@ int cova_decode_png_batch(const char** paths, int n, unsigned char* out,
   task.n = n;
   task.h = h;
   task.w = w;
+  task.s2d4 = s2d4;
   task.next = 0;
   task.failures = 0;
   pthread_mutex_init(&task.mu, nullptr);
@@ -180,6 +209,11 @@ int cova_decode_png_batch(const char** paths, int n, unsigned char* out,
   for (int i = 0; i < spawned; i++) pthread_join(threads[i], nullptr);
   pthread_mutex_destroy(&task.mu);
   return task.failures;
+}
+
+int cova_decode_png_batch(const char** paths, int n, unsigned char* out,
+                          int h, int w, int nthreads) {
+  return cova_decode_png_batch_ex(paths, n, out, h, w, nthreads, 0);
 }
 
 // ---------------------------------------------------------------------------

@@ -145,3 +145,18 @@ def test_pipeline_native_batch_path(disk_ds):
         np.testing.assert_array_equal(ba.images, bb.images)
         np.testing.assert_array_equal(ba.boxes, bb.boxes)
         np.testing.assert_array_equal(ba.context_indices, bb.context_indices)
+
+
+def test_decode_batch_s2d4(disk_ds):
+    """s2d4=True emits the TPU input layout [n, h/4, w/4, 48], equal to the
+    host-side numpy transform of the plain decode."""
+    from cova_tpu.ops.conv_stem import s2d4_host
+
+    root, ids = disk_ds
+    paths = [os.path.join(root, "imgs", f"{i}.png") for i in ids]
+    plain = native_loader.decode_png_batch(paths, 48, 48, nthreads=2)
+    s2d = native_loader.decode_png_batch(paths, 48, 48, nthreads=2,
+                                         s2d4=True)
+    assert s2d.shape == (len(ids), 12, 12, 48)
+    want = np.stack([s2d4_host(im) for im in plain], 0)
+    np.testing.assert_array_equal(s2d, want)

@@ -27,7 +27,7 @@ def _pipe(ds, **kw):
 def test_shapes_and_masks(mem_ds):
     p = _pipe(mem_ds)
     ids, batch = next(iter(p.epoch(0)))
-    assert batch.images.shape == (4, 32, 32, 3)
+    assert batch.images.shape == (4, 8, 8, 48)  # host s2d(4)
     assert batch.images.dtype == np.uint8
     assert batch.boxes.shape == (4, 16, 4)
     assert batch.context_indices.shape == (4, 16, 6)
@@ -83,7 +83,7 @@ def test_disk_roundtrip(tmp_path):
     p = _pipe(ds, batch_size=2)
     seen = 0
     for ids_b, batch in p.epoch(0):
-        assert batch.images.shape[1:] == (32, 32, 3)
+        assert batch.images.shape[1:] == (8, 8, 48)
         seen += batch.batch_size
     assert seen == 5
 
