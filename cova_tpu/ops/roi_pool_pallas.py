@@ -78,48 +78,101 @@ def _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w):
 def _fwd_kernel(
     bounds_s, fm_ref, out_ref, *, h, w, cb, out_h, out_w
 ):
-    """fm_ref: [1, 1, h, cb, w] VMEM; out_ref: [1, 1, p, cb, out_h*out_w];
-    bounds_s: packed [B, P*stride] SMEM (see ``_bounds``)."""
+    """fm_ref: [1, 1, h, cb, w3] VMEM (lanes padded to a 128 multiple);
+    out_ref: [1, 1, p, cb, out_h*out_w]; bounds_s: packed [B, P*stride]
+    SMEM (see ``_bounds``).
+
+    Windowed single pass per box (the round-2 redesign; measured rationale
+    in the module docstring): the row phase touches only the 128-lane
+    windows the box's columns intersect — most DOM boxes span one window,
+    so the per-chunk vector work drops ~3x vs full-width slabs — and all
+    ``out_h`` bin-rows accumulate in one walk over the box's rows. Padded
+    boxes short-circuit through ``pl.when`` to a zero write."""
     b = pl.program_id(0)
     p_total = out_ref.shape[2]
     stride = 2 * out_h + 2 * out_w
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
-    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     neg = jnp.asarray(-jnp.inf, jnp.float32)
 
-    def per_box(p, _):
+    def per_box(p, carry):
         base = p * stride
-        for i in range(out_h):
-            lo = bounds_s[b, base + i]
-            hi = bounds_s[b, base + out_h + i]
-            c0 = lo // _CHUNK
-            c1 = (hi + _CHUNK - 1) // _CHUNK
+        ylo = [bounds_s[b, base + i] for i in range(out_h)]
+        yhi = [bounds_s[b, base + out_h + i] for i in range(out_h)]
+        xlo = [bounds_s[b, base + 2 * out_h + j] for j in range(out_w)]
+        xhi = [bounds_s[b, base + 2 * out_h + out_w + j]
+               for j in range(out_w)]
+        valid = yhi[out_h - 1] > ylo[0]
 
-            def chunk_body(c, acc):
-                y0 = c * _CHUNK
-                slab = fm_ref[0, 0, pl.ds(y0, _CHUNK), :, :].astype(
-                    jnp.float32
-                )  # [_CHUNK, cb, w]
-                ym = (row_y + y0 >= lo) & (row_y + y0 < hi)
-                slab = jnp.where(ym, slab, neg)
-                return jnp.maximum(acc, jnp.max(slab, axis=0))
+        @pl.when(valid)
+        def _():
+            c0 = ylo[0] // _CHUNK
+            c1 = (yhi[out_h - 1] + _CHUNK - 1) // _CHUNK
+            w0 = xlo[0] // 128
+            w1 = (xhi[out_w - 1] + 127) // 128
 
-            acc = jax.lax.fori_loop(
-                c0, c1, chunk_body, jnp.full((cb, w), neg, jnp.float32)
-            )  # [cb, w]
-            empty_y = hi <= lo
+            def per_window(wnd, reds):
+                x0 = pl.multiple_of(wnd * 128, 128)
 
-            for j in range(out_w):
-                xlo = bounds_s[b, base + 2 * out_h + j]
-                xhi = bounds_s[b, base + 2 * out_h + out_w + j]
-                xm = (col_x >= xlo) & (col_x < xhi)
-                red = jnp.max(jnp.where(xm, acc, neg), axis=1)  # [cb]
-                empty = empty_y | (xhi <= xlo)
-                red = jnp.where(empty, jnp.zeros((), jnp.float32), red)
-                out_ref[0, 0, p, :, i * out_w + j] = red.astype(
-                    out_ref.dtype
+                def chunk_body(c, accs):
+                    y0 = c * _CHUNK
+                    slab = fm_ref[
+                        0, 0, pl.ds(y0, _CHUNK), :, pl.ds(x0, 128)
+                    ].astype(jnp.float32)  # [_CHUNK, cb, 128]
+                    nxt = []
+                    for i in range(out_h):
+                        ym = (row_y + y0 >= ylo[i]) & (row_y + y0 < yhi[i])
+                        nxt.append(jnp.maximum(
+                            accs[i],
+                            jnp.max(jnp.where(ym, slab, neg), axis=0),
+                        ))
+                    return tuple(nxt)
+
+                accs = jax.lax.fori_loop(
+                    c0, c1, chunk_body,
+                    tuple(jnp.full((cb, 128), neg, jnp.float32)
+                          for _i in range(out_h)),
                 )
-        return _
+                # Column phase folded into the window loop: reduce each
+                # (bin-row, bin-col) over this window's lanes while the
+                # accumulators are live in registers.
+                nreds = []
+                for i in range(out_h):
+                    for j in range(out_w):
+                        xm = (col_x + x0 >= xlo[j]) & (col_x + x0 < xhi[j])
+                        part = jnp.max(
+                            jnp.where(xm, accs[i], neg), axis=1
+                        )  # [cb]
+                        nreds.append(jnp.maximum(
+                            reds[i * out_w + j], part
+                        ))
+                return tuple(nreds)
+
+            reds = jax.lax.fori_loop(
+                w0, w1, per_window,
+                tuple(jnp.full((cb,), neg, jnp.float32)
+                      for _k in range(out_h * out_w)),
+            )
+            for i in range(out_h):
+                empty_y = yhi[i] <= ylo[i]
+                for j in range(out_w):
+                    empty = empty_y | (xhi[j] <= xlo[j])
+                    red = jnp.where(
+                        empty,
+                        jnp.zeros((), jnp.float32),
+                        reds[i * out_w + j],
+                    )
+                    out_ref[0, 0, p, :, i * out_w + j] = red.astype(
+                        out_ref.dtype
+                    )
+
+        @pl.when(jnp.logical_not(valid))
+        def _():
+            zero = jnp.zeros((cb,), out_ref.dtype)
+            for k in range(out_h * out_w):
+                out_ref[0, 0, p, :, k] = zero
+
+        return carry
 
     jax.lax.fori_loop(0, p_total, per_box, 0)
 
@@ -128,72 +181,110 @@ def _bwd_kernel(
     bounds_s, fm_ref, out_ref, g_ref, dfm_ref,
     *, h, w, cb, out_h, out_w
 ):
-    """Scatter g where fm equals the pooled max inside each bin."""
+    """Scatter g where fm equals the pooled max inside each bin.
+
+    Same windowed single-pass structure as the forward: one walk over the
+    box's (chunk, window) tiles handles all out_h*out_w bins at once, each
+    compare/add running on a [_CHUNK, cb, 128] window instead of the full
+    lane width. Padded boxes skip entirely (their dfm stays zero)."""
     b = pl.program_id(0)
     p_total = g_ref.shape[2]
     stride = 2 * out_h + 2 * out_w
-    dfm_ref[0, 0, :, :, :] = jnp.zeros((h, cb, w), dfm_ref.dtype)
+    w3 = dfm_ref.shape[-1]
+    dfm_ref[0, 0, :, :, :] = jnp.zeros((h, cb, w3), dfm_ref.dtype)
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
-    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
 
-    def per_box(p, _):
+    def per_box(p, carry):
         base = p * stride
-        for i in range(out_h):
-            lo = bounds_s[b, base + i]
-            hi = bounds_s[b, base + out_h + i]
-            c0 = lo // _CHUNK
-            c1 = (hi + _CHUNK - 1) // _CHUNK
+        ylo = [bounds_s[b, base + i] for i in range(out_h)]
+        yhi = [bounds_s[b, base + out_h + i] for i in range(out_h)]
+        xlo = [bounds_s[b, base + 2 * out_h + j] for j in range(out_w)]
+        xhi = [bounds_s[b, base + 2 * out_h + out_w + j]
+               for j in range(out_w)]
+        valid = yhi[out_h - 1] > ylo[0]
 
-            def chunk_body(c, _c):
-                y0 = c * _CHUNK
-                slab = fm_ref[0, 0, pl.ds(y0, _CHUNK), :, :].astype(
-                    jnp.float32
-                )  # [8, cb, w]
-                ym = (row_y + y0 >= lo) & (row_y + y0 < hi)
-                neg = jnp.asarray(-jnp.inf, jnp.float32)
-                slab_rows = jnp.where(ym, slab, neg)
-                add = jnp.zeros((_CHUNK, cb, w), jnp.float32)
-                zero3 = jnp.zeros((_CHUNK, cb, w), jnp.float32)
-                for j in range(out_w):
-                    xlo = bounds_s[b, base + 2 * out_h + j]
-                    xhi = bounds_s[b, base + 2 * out_h + out_w + j]
-                    xm = (col_x >= xlo) & (col_x < xhi)
-                    # Materialize broadcasts as f32 arithmetic: Mosaic cannot
-                    # relayout mixed-rank boolean broadcast combinations.
-                    pooled_b = (
-                        out_ref[0, 0, p, :, i * out_w + j]
-                        .astype(jnp.float32)[None, :, None]
-                        + zero3
-                    )
-                    g_b = (
-                        g_ref[0, 0, p, :, i * out_w + j]
-                        .astype(jnp.float32)[None, :, None]
-                        + zero3
-                    )
-                    slab_m = jnp.where(xm, slab_rows, neg)
-                    add = add + jnp.where(slab_m == pooled_b, g_b, 0.0)
-                cur = dfm_ref[0, 0, pl.ds(y0, _CHUNK), :, :]
-                dfm_ref[0, 0, pl.ds(y0, _CHUNK), :, :] = cur + add.astype(
-                    dfm_ref.dtype
+        @pl.when(valid)
+        def _():
+            c0 = ylo[0] // _CHUNK
+            c1 = (yhi[out_h - 1] + _CHUNK - 1) // _CHUNK
+            w0 = xlo[0] // 128
+            w1 = (xhi[out_w - 1] + 127) // 128
+            zero2 = jnp.zeros((1, cb, 128), jnp.float32)
+            # Pooled maxes / incoming grads are (chunk, window)-invariant:
+            # materialize the 9 broadcast pairs once per box, as [1, cb,
+            # 128] rows (the leading-dim broadcast against the [_CHUNK, ...]
+            # slab is the cheap direction; only rank-MIXED bool broadcasts
+            # trip Mosaic).
+            pg = []
+            for k in range(out_h * out_w):
+                pooled_b = (
+                    out_ref[0, 0, p, :, k]
+                    .astype(jnp.float32)[None, :, None] + zero2
                 )
-                return _c
+                g_b = (
+                    g_ref[0, 0, p, :, k]
+                    .astype(jnp.float32)[None, :, None] + zero2
+                )
+                pg.append((pooled_b, g_b))
 
-            jax.lax.fori_loop(c0, c1, chunk_body, 0)
-        return _
+            def per_window(wnd, _w):
+                x0 = pl.multiple_of(wnd * 128, 128)
+
+                def chunk_body(c, _c):
+                    y0 = c * _CHUNK
+                    slab = fm_ref[
+                        0, 0, pl.ds(y0, _CHUNK), :, pl.ds(x0, 128)
+                    ].astype(jnp.float32)  # [_CHUNK, cb, 128]
+                    add = jnp.zeros((_CHUNK, cb, 128), jnp.float32)
+                    for i in range(out_h):
+                        ym = (row_y + y0 >= ylo[i]) & (row_y + y0 < yhi[i])
+                        slab_rows = jnp.where(ym, slab, neg)
+                        for j in range(out_w):
+                            xm = (col_x + x0 >= xlo[j]) & (
+                                col_x + x0 < xhi[j]
+                            )
+                            pooled_b, g_b = pg[i * out_w + j]
+                            slab_m = jnp.where(xm, slab_rows, neg)
+                            add = add + jnp.where(
+                                slab_m == pooled_b, g_b, 0.0
+                            )
+                    cur = dfm_ref[0, 0, pl.ds(y0, _CHUNK), :,
+                                  pl.ds(x0, 128)]
+                    dfm_ref[0, 0, pl.ds(y0, _CHUNK), :, pl.ds(x0, 128)] = (
+                        cur + add.astype(dfm_ref.dtype)
+                    )
+                    return _c
+
+                jax.lax.fori_loop(c0, c1, chunk_body, 0)
+                return _w
+
+            jax.lax.fori_loop(w0, w1, per_window, 0)
+
+        return carry
 
     jax.lax.fori_loop(0, p_total, per_box, 0)
 
 
 def _fold_fm(fm: jnp.ndarray, cb: int) -> jnp.ndarray:
-    """[B, H, W, C] -> [B, C//cb, H, cb, W] (channels to sublanes)."""
+    """[B, H, W, C] -> [B, C//cb, H, cb, W3] (channels to sublanes; W
+    zero-padded to a 128-lane multiple so the kernels' aligned dynamic
+    window slices stay in bounds)."""
     b, h, w, c = fm.shape
-    return fm.reshape(b, h, w, c // cb, cb).transpose(0, 3, 1, 4, 2)
+    t = fm.reshape(b, h, w, c // cb, cb).transpose(0, 3, 1, 4, 2)
+    pad = _lanes(w) - w
+    if pad:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
+    return t
 
 
-def _unfold_fm(fm_t: jnp.ndarray) -> jnp.ndarray:
-    """[B, n_cb, H, cb, W] -> [B, H, W, C]."""
-    b, n_cb, h, cb, w = fm_t.shape
-    return fm_t.transpose(0, 2, 4, 1, 3).reshape(b, h, w, n_cb * cb)
+def _unfold_fm(fm_t: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[B, n_cb, H, cb, W3] -> [B, H, W, C] (drops the lane padding)."""
+    b, n_cb, h, cb, _w3 = fm_t.shape
+    return (
+        fm_t[..., :w].transpose(0, 2, 4, 1, 3).reshape(b, h, w, n_cb * cb)
+    )
 
 
 def _fold_out(t, b, p, out_h, out_w, n_cb, cb):
@@ -275,7 +366,7 @@ def _pick_cb(c: int, bytes_at) -> int:
 
 def _specs(b, p, h, w, cb, out_h, out_w, n_io: int):
     fm_spec = pl.BlockSpec(
-        (1, 1, h, cb, w),
+        (1, 1, h, cb, _lanes(w)),
         lambda bi, ci, *_: (bi, ci, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -342,7 +433,9 @@ def _roi_pool_bwd_impl(
             in_specs=[fm_spec, out_spec, out_spec],
             out_specs=fm_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_cb, h, cb, w), fm.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_cb, h, cb, _lanes(w)), fm.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -353,7 +446,7 @@ def _roi_pool_bwd_impl(
         _fold_out(pooled, b, p, out_h, out_w, n_cb, cb),
         _fold_out(g, b, p, out_h, out_w, n_cb, cb),
     )
-    return _unfold_fm(dfm_t)
+    return _unfold_fm(dfm_t, w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
