@@ -55,7 +55,7 @@ _NEG = -3.0e38  # effectively -inf in f32, finite to keep bf16 cast clean
 
 
 def _affine(slab, scale_ref, shift_ref):
-    return slab[...].astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+    return slab.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
 
 
 def _lane_masks(shape, o):
@@ -71,49 +71,14 @@ def _colshift(z):
     return jnp.where(col == 0, _NEG, zr)
 
 
-def _load_halo_slab(ys_ref, slab, sem, bi, ti, tu, extra, n_tiles):
-    """DMA rows [i0-1, i0-1+tu+extra) of ys into slab, clamped at both ends
-    (tile 0's missing top row / the last tile's missing bottom row stay
-    unwritten; callers mask them to -inf post-affine)."""
-    i0 = ti * tu
-    last = n_tiles - 1
-    over = 1 if extra == 2 else 0  # bwd reads one row past the tile
-
-    @pl.when((ti != 0) & ((ti != last) | (over == 0)))
-    def _():
-        cp = pltpu.make_async_copy(
-            ys_ref.at[bi, pl.ds(i0 - 1, tu + extra)], slab, sem
-        )
-        cp.start()
-        cp.wait()
-
-    @pl.when(ti == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            ys_ref.at[bi, pl.ds(0, tu + extra - 1)],
-            slab.at[pl.ds(1, tu + extra - 1)],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-
-    if over:
-
-        @pl.when((ti == last) & (ti != 0))
-        def _():
-            cp = pltpu.make_async_copy(
-                ys_ref.at[bi, pl.ds(i0 - 1, tu + 1)],
-                slab.at[pl.ds(0, tu + 1)],
-                sem,
-            )
-            cp.start()
-            cp.wait()
-
-
-def _fwd_kernel(ys_ref, scale_ref, shift_ref, out_ref, slab, sem,
+def _fwd_kernel(ys_ref, prev_ref, scale_ref, shift_ref, out_ref,
                 *, tu, o, n_tiles):
+    """ys_ref: the tile's [1, tu, v, c4] block; prev_ref: the single row
+    above it (clamped at the top edge), both auto-pipelined by Pallas —
+    this replaces the round-1 manual halo DMA, which serialized transfer
+    and compute."""
     ti = pl.program_id(1)
-    _load_halo_slab(ys_ref, slab, sem, pl.program_id(0), ti, tu, 1, n_tiles)
+    slab = jnp.concatenate([prev_ref[0], ys_ref[0]], axis=0)  # [tu+1, v, c4]
 
     z = _affine(slab, scale_ref, shift_ref)
     # Halo row 0 is the previous tile's last row; for tile 0 it is the
@@ -133,12 +98,14 @@ def _fwd_kernel(ys_ref, scale_ref, shift_ref, out_ref, slab, sem,
     out_ref[0] = jnp.maximum(p[..., 0:o], 0.0).astype(out_ref.dtype)
 
 
-def _bwd_kernel(ys_ref, g_lo_ref, g_hi_ref, scale_ref, shift_ref,
-                dys_ref, dsc_ref, dsh_ref, slab, sem,
+def _bwd_kernel(ys_ref, prev_ref, next_ref, g_lo_ref, g_hi_ref,
+                scale_ref, shift_ref, dys_ref, dsc_ref, dsh_ref,
                 *, tu, o, n_tiles):
     ti = pl.program_id(1)
     last = n_tiles - 1
-    _load_halo_slab(ys_ref, slab, sem, pl.program_id(0), ti, tu, 2, n_tiles)
+    slab = jnp.concatenate(
+        [prev_ref[0], ys_ref[0], next_ref[0]], axis=0
+    )  # [tu+2, v, c4]; edge rows are clamped copies, masked to -inf below
 
     # Recompute the pooled max for outputs s in [0, tu] (rows i0..i0+tu).
     z = _affine(slab, scale_ref, shift_ref)
@@ -198,7 +165,7 @@ def _bwd_kernel(ys_ref, g_lo_ref, g_hi_ref, scale_ref, shift_ref,
     back = jnp.where(col == dzc.shape[1] - 1, 0.0, back)
     dpre = (jnp.where(colsel, 0.0, dzc) + back)[1 : tu + 1]
 
-    x = slab[pl.ds(1, tu)].astype(jnp.float32)
+    x = slab[1 : tu + 1].astype(jnp.float32)
     # Partial-sum blocks are (1, 1, 8, c4) to satisfy the (8, 128) tile
     # minimum; only row 0 carries data.
     pad = jnp.zeros((1, 1, 7, c4), jnp.float32)
@@ -227,7 +194,13 @@ def _fwd_impl(ys, scale4, shift4, tu, interpret):
         functools.partial(_fwd_kernel, tu=tu, o=o, n_tiles=n_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tu, v, c4), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, v, c4),
+                lambda bi, ti: (bi, jnp.maximum(ti * tu - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, c4), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c4), lambda bi, ti: (0, 0),
@@ -236,15 +209,11 @@ def _fwd_impl(ys, scale4, shift4, tu, interpret):
         out_specs=pl.BlockSpec((1, tu, v, o), lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, u, v, o), ys.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tu + 1, v, c4), ys.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ys, scale4.reshape(1, c4), shift4.reshape(1, c4))
+    )(ys, ys, scale4.reshape(1, c4), shift4.reshape(1, c4))
 
 
 def _bwd_impl(ys, scale4, shift4, g, tu, interpret):
@@ -256,7 +225,18 @@ def _bwd_impl(ys, scale4, shift4, g, tu, interpret):
         functools.partial(_bwd_kernel, tu=tu, o=o, n_tiles=n_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tu, v, c4), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, v, c4),
+                lambda bi, ti: (bi, jnp.maximum(ti * tu - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, v, c4),
+                lambda bi, ti: (bi, jnp.minimum(ti * tu + tu, u - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, tu, v, o), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -282,15 +262,11 @@ def _bwd_impl(ys, scale4, shift4, g, tu, interpret):
             jax.ShapeDtypeStruct((b, n_tiles, 8, c4), jnp.float32),
             jax.ShapeDtypeStruct((b, n_tiles, 8, c4), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tu + 2, v, c4), ys.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ys, g, g, scale4.reshape(1, c4), shift4.reshape(1, c4))
+    )(ys, ys, ys, g, g, scale4.reshape(1, c4), shift4.reshape(1, c4))
     return dys, dsc.sum(axis=(0, 1, 2)), dsh.sum(axis=(0, 1, 2))
 
 

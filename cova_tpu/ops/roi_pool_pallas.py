@@ -7,20 +7,25 @@ in VMEM and walks each box's bin rows directly, so the work is proportional
 to the *actual* box sizes instead of full-map masked reductions.
 
 Layout (chosen so no op needs a lane<->sublane reshape, which Mosaic cannot
-lower): the feature map is fed as ``[B, n_cb, H, cb, W]`` — channels in
-sublanes, W in lanes; pooled outputs/gradients as ``[B, n_cb, P, cb,
-out_h*out_w]``. Per (image, channel-block) program:
+lower): the feature map is fed as ``[B, n_cb, H, cb, W3]`` — channels in
+sublanes, W in lanes padded to a 128 multiple; pooled outputs/gradients as
+``[B, n_cb, P, cb, out_h*out_w]``. Per (image, channel-block) program, one
+windowed single pass per box (round-2 redesign; box-size ablations showed
+the round-1 per-(box, bin-row) full-width structure spent ~85% of its time
+on lane tiles outside the box):
 
-  * for every box and bin-row, an 8-row-chunked, row-masked running max over
-    ``[8, cb, W]`` slabs -> ``[cb, W]`` accumulators;
-  * one column(lane)-masked reduction per output column -> ``[cb]`` sublane
-    vectors written straight into the output block;
+  * the row phase loops only the 128-lane windows the box's columns
+    intersect (aligned dynamic slices via ``pl.multiple_of``), accumulating
+    all ``out_h`` bin-rows in registers per window from 8-row-chunked,
+    row-masked maxes over ``[8, cb, 128]`` slabs;
+  * the per-(bin-row, bin-col) lane reductions fold into the same window
+    loop -> ``[cb]`` sublane vectors written straight into the output block;
   * bin bounds (identical integer semantics to ``roi_pool.py``; invalid
-    boxes forced empty so padding costs nothing) are precomputed in jnp and
-    scalar-prefetched to SMEM;
-  * backward re-walks the bins and scatters ``g`` where ``fm == pooled``
-    (ties receive the gradient jointly; torch's kernel picks the first
-    argmax — indistinguishable in training).
+    boxes forced empty) are precomputed in jnp and scalar-prefetched to
+    SMEM; padded boxes short-circuit through ``pl.when`` to a zero write;
+  * backward re-walks the same (window, chunk) tiles and scatters ``g``
+    where ``fm == pooled`` (ties receive the gradient jointly; torch's
+    kernel picks the first argmax — indistinguishable in training).
 
 Semantics match ``torchvision.ops.roi_pool`` (quantization, inclusive-end
 widths, empty bins -> 0); see ``roi_pool.py`` for the rules and citations.
