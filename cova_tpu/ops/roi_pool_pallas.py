@@ -30,6 +30,14 @@ on lane tiles outside the box):
 Semantics match ``torchvision.ops.roi_pool`` (quantization, inclusive-end
 widths, empty bins -> 0); see ``roi_pool.py`` for the rules and citations.
 
+bf16 in-kernel compute: TRIED AND REJECTED (round 2, measured on v5e).
+Running the slab maxes in the fm dtype instead of f32 — exact for max,
+half the VREG footprint on paper — measured *slower* on every box mix
+(fwd 3.6 -> 3.9 ms, f+b 10.7 -> 11.1 at the bench mix): Mosaic unpacks
+16-bit vectors for these select/compare chains, and the bwd's bf16
+equality compare doesn't lower at all ("Invalid relayout ... replicated
+in destination" on the packed-i1 result). Keep f32 compute.
+
 Two-pass backward: TRIED AND REJECTED (round 2, measured on v5e). A
 variant that saved per-(box, bin, channel) argmax indices in the forward
 and expanded them to one-hot adds in the backward measured fwd 12.7 ms /
