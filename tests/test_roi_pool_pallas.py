@@ -121,3 +121,62 @@ def test_pick_cb_calibrated_choices():
     assert _pick_cb(
         64, lambda cb: _fwd_vmem_bytes(640, 640, cb, 232, 9, 2, 2, 64)
     ) <= 16
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_multi_window_boxes(seed):
+    """W > 128 engages the windowed row phase (the TPU shape has 3 lane
+    windows); boxes are placed to cross the 128- and 256-lane boundaries,
+    hug the right edge, and span the full width."""
+    rng = np.random.default_rng(seed)
+    B, H, W, C, img = 1, 24, 320, 8, 1280
+    fm = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    # fm-space column intents (scale 0.25 -> image coords x4):
+    # in-window, crossing 128, crossing 256, full-width, right-edge.
+    spans = [(10, 60), (100, 180), (220, 300), (0, 319), (280, 319),
+             (126, 130), (0, 4), (310, 319)]
+    boxes = []
+    for (xa, xb) in spans:
+        y1 = rng.uniform(0, 60)
+        y2 = y1 + rng.uniform(4, 30)
+        boxes.append([xa * 4.0, y1, xb * 4.0, y2])
+    boxes = np.asarray([boxes], np.float32)
+    mask = np.ones((B, len(spans)), bool)
+    got = np.asarray(
+        roi_pool_pallas(
+            jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask),
+            0.25, 3, 3, True,
+        )
+    )
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_multi_window_backward():
+    rng = np.random.default_rng(7)
+    B, H, W, C = 1, 16, 320, 4
+    n = B * H * W * C
+    fm = ((rng.permutation(n) / n * 4 - 2).astype(np.float32)
+          .reshape(B, H, W, C))  # unique values: tie-free gradients
+    boxes = np.asarray(
+        [[[100 * 4.0, 8.0, 300 * 4.0, 40.0],   # crosses both boundaries
+          [0.0, 0.0, 319 * 4.0, 60.0],          # full map
+          [500.0, 20.0, 530.0, 50.0]]], np.float32)
+    mask = np.ones((B, 3), bool)
+    g = rng.normal(size=(B, 3, 3, 3, C)).astype(np.float32)
+
+    def loss_pallas(fm):
+        out = roi_pool_pallas(fm, jnp.asarray(boxes), jnp.asarray(mask),
+                              0.25, 3, 3, True)
+        return jnp.sum(out * jnp.asarray(g))
+
+    def loss_xla(fm):
+        out = roi_pool(fm, jnp.asarray(boxes), spatial_scale=0.25,
+                       out_h=3, out_w=3)
+        return jnp.sum(out * jnp.asarray(g))
+
+    gp = jax.grad(loss_pallas)(jnp.asarray(fm))
+    gx = jax.grad(loss_xla)(jnp.asarray(fm))
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), rtol=1e-5, atol=1e-6
+    )
