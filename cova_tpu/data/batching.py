@@ -52,8 +52,13 @@ def collate(
         from ..ops.conv_stem import s2d4_host
 
         images = [s2d4_host(im) for im in images]
+    # The C++ batch decoder already returns one contiguous [B, ...] array;
+    # passing it through as-is avoids a ~40 MB re-stack copy per batch.
+    stacked = (
+        images if isinstance(images, np.ndarray) else np.stack(images, 0)
+    )
     return Batch(
-        images=np.stack(images, 0),
+        images=stacked,
         boxes=np.stack([p.boxes_xyxy for p in pages], 0),
         labels=np.stack([p.labels for p in pages], 0),
         box_mask=np.stack([p.box_mask for p in pages], 0),

@@ -138,7 +138,7 @@ class DataPipeline:
                 nthreads=self.num_threads,
                 s2d4=size % 4 == 0,  # emit the TPU layout from C directly
             )
-            return collate(list(imgs), list(pages_iter))
+            return collate(imgs, list(pages_iter))  # ndarray: no re-stack
 
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
