@@ -125,3 +125,36 @@ def test_backbone_fused_path_matches_unfused(monkeypatch):
         bs1,
         bs0,
     )
+
+
+def test_gradients_multi_tile_middle_tiles():
+    """u=40 resolves to tu=8 -> 5 tiles, exercising middle tiles (both
+    halo rows real) — 2-tile cases only cover the first/last edge paths."""
+    o = 8
+    ys = _unique_ys(1, 40, 16, 4 * o, seed=13)
+    rng = np.random.default_rng(13)
+    scale = jnp.asarray(
+        (np.abs(rng.normal(size=(o,))) + 0.1).astype(np.float32)
+    )
+    shift = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+    from cova_tpu.ops.bn_pool import _pick_tu
+
+    assert _pick_tu(40) == 8  # 5 tiles
+    w = jnp.asarray(rng.normal(size=(1, 40, 16, o)).astype(np.float32))
+
+    def mkloss(f):
+        def loss(ys, scale, shift):
+            return jnp.sum(f(ys, scale, shift).astype(jnp.float32) * w)
+
+        return loss
+
+    gk = jax.grad(
+        mkloss(lambda *a: bn_relu_pool_s2d(*a, interpret=True)),
+        argnums=(0, 1, 2),
+    )(ys, scale, shift)
+    go = jax.grad(mkloss(_oracle), argnums=(0, 1, 2))(ys, scale, shift)
+    for name, a, b in zip(["dys", "dscale", "dshift"], gk, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=name,
+        )
