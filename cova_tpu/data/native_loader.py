@@ -39,6 +39,18 @@ def load_library(path: Optional[str] = None) -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(path or _lib_path())
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # Stale libcova_native.so missing a newer symbol (e.g. built
+        # before cova_decode_png_batch_ex existed): fall back to the
+        # pure-Python path as documented instead of crashing callers.
+        return None
+    _LIB = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     lib.cova_decode_png.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_ubyte),
@@ -62,8 +74,6 @@ def load_library(path: Optional[str] = None) -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.cova_parse_bbox_csv.restype = ctypes.c_int
-    _LIB = lib
-    return lib
 
 
 def available() -> bool:
@@ -102,6 +112,8 @@ def decode_png_batch(
     shape = (n, h // 4, w // 4, 48) if s2d4 else (n, h, w, 3)
     out = np.empty(shape, dtype=np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if s2d4 and (h % 4 or w % 4):
+        raise ValueError(f"s2d4 requires h, w % 4 == 0, got ({h}, {w})")
     failures = lib.cova_decode_png_batch_ex(
         arr,
         n,
@@ -111,6 +123,8 @@ def decode_png_batch(
         nthreads,
         1 if s2d4 else 0,
     )
+    if failures < 0:
+        raise ValueError(f"cova_decode_png_batch_ex error code {failures}")
     if failures:
         raise IOError(f"{failures}/{n} PNG decodes failed")
     return out

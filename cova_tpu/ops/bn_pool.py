@@ -72,7 +72,7 @@ def _colshift(z):
 
 
 def _fwd_kernel(ys_ref, prev_ref, scale_ref, shift_ref, out_ref,
-                *, tu, o, n_tiles):
+                *, tu, o):
     """ys_ref: the tile's [1, tu, v, c4] block; prev_ref: the single row
     above it (clamped at the top edge), both auto-pipelined by Pallas —
     this replaces the round-1 manual halo DMA, which serialized transfer
@@ -191,7 +191,7 @@ def _fwd_impl(ys, scale4, shift4, tu, interpret):
     n_tiles = u // tu
     grid = (b, n_tiles)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tu=tu, o=o, n_tiles=n_tiles),
+        functools.partial(_fwd_kernel, tu=tu, o=o),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tu, v, c4), lambda bi, ti: (bi, ti, 0, 0),

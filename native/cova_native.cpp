@@ -165,7 +165,12 @@ static void* decode_worker(void* arg) {
     if (i >= t->n) break;
     unsigned char* slot = t->out + (size_t)i * img_bytes;
     unsigned char* target = t->s2d4 ? tmp : slot;
-    int rc = cova_decode_png(t->paths[i], target, t->h, t->w);
+    // A worker whose scratch allocation failed marks its claims as failed
+    // decodes (healthy workers keep competing for the rest) rather than
+    // writing through NULL.
+    int rc = (t->s2d4 && !tmp)
+                 ? -1
+                 : cova_decode_png(t->paths[i], target, t->h, t->w);
     if (rc != 0) {
       pthread_mutex_lock(&t->mu);
       t->failures++;

@@ -36,7 +36,7 @@ fm = jnp.asarray(
 ).astype(jnp.bfloat16)
 
 
-def bench(name, loss_fn, module, x, bwd=True):
+def bench(name, module, x, bwd=True):
     variables = module.init(rng0, x, True)
     params = variables["params"]
     bs = variables.get("batch_stats", {})
@@ -133,9 +133,9 @@ class FullBackbone(nn.Module):
         return make_backbone("resnet18_stem", dtype=jnp.bfloat16)(x, train)
 
 
-bench("stem fwd+bwd", None, StemOnly(), x_img)
-bench("blocks fwd+bwd", None, BlocksOnly(), fm)
-bench("blocks fwd", None, BlocksOnly(), fm, bwd=False)
-bench("4convs-relu fwd+bwd", None, ConvsOnly(), fm)
-bench("4convs-bn fwd+bwd", None, ConvsBN(), fm)
-bench("backbone fwd", None, FullBackbone(), x_img, bwd=False)
+bench("stem fwd+bwd", StemOnly(), x_img)
+bench("blocks fwd+bwd", BlocksOnly(), fm)
+bench("blocks fwd", BlocksOnly(), fm, bwd=False)
+bench("4convs-relu fwd+bwd", ConvsOnly(), fm)
+bench("4convs-bn fwd+bwd", ConvsBN(), fm)
+bench("backbone fwd", FullBackbone(), x_img, bwd=False)
