@@ -114,3 +114,85 @@ def run_train_bench(
         "compute_dtype": compute_dtype,
         "device": str(jax.devices()[0]),
     }
+
+
+def run_infer_bench(
+    batch_size: int = 32,
+    steps: int = 20,
+    img_height: int = 1280,
+    compute_dtype: str = "bfloat16",
+    windows: int = 3,
+):
+    """Serving throughput: forward-only (eval mode, running BN stats),
+    logits for every box on the page — the deployment path of ``cova
+    eval`` / attention extraction, measured the same way as the train
+    bench (device-staged batch, fori-loop, scalar fetch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import Config
+    from .data.batching import collate
+    from .data.records import pad_page
+    from .data.synthetic import synth_image, synth_record
+    from .models.cova import build_model
+    from .train.steps import create_train_state
+
+    cfg = Config(
+        batch_size=batch_size,
+        img_height=img_height,
+        compute_dtype=compute_dtype,
+    )
+    model = build_model(cfg)
+    imgs, pages = [], []
+    for i in range(batch_size):
+        rng = np.random.default_rng((11, i))
+        rec = synth_record(str(i), img_height, rng, min_boxes=60,
+                           max_boxes=min(120, cfg.max_boxes))
+        imgs.append(synth_image(rec, img_height, rng))
+        pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size))
+    batch = jax.device_put(collate(imgs, pages))
+    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run_steps(params, batch_stats, batch):
+        def body(i, acc):
+            # Data dependence on the carry defeats loop-invariant hoisting
+            # of the whole forward (uint8 add of a zero).
+            imgs = batch.images + (acc * 0).astype(batch.images.dtype)
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs,
+                batch.boxes,
+                batch.box_mask,
+                batch.context_indices,
+                train=False,
+            )
+            return acc + (
+                jnp.sum(out.logits[0, 0].astype(jnp.float32)) * 1e-12
+            )
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
+
+    for attempt in range(3):
+        try:
+            _ = float(run_steps(state.params, state.batch_stats, batch))
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(3)
+    best_dt = float("inf")
+    for _ in range(windows):
+        t0 = time.time()
+        _ = float(run_steps(state.params, state.batch_stats, batch))
+        best_dt = min(best_dt, (time.time() - t0) / steps)
+
+    return {
+        "metric": "infer_webpages_per_sec_per_chip",
+        "value": round(batch_size / best_dt, 2),
+        "unit": "pages/s",
+        "step_ms": round(best_dt * 1000, 2),
+        "batch_size": batch_size,
+        "img_height": img_height,
+        "compute_dtype": compute_dtype,
+        "device": str(jax.devices()[0]),
+    }

@@ -322,7 +322,12 @@ def cmd_sweep(args) -> int:
 def cmd_bench(args) -> int:
     from . import benchmarks
 
-    result = benchmarks.run_train_bench(
+    fn = (
+        benchmarks.run_infer_bench
+        if args.mode == "infer"
+        else benchmarks.run_train_bench
+    )
+    result = fn(
         batch_size=args.batch_size_bench,
         steps=args.steps,
         img_height=args.img_height,
@@ -359,6 +364,8 @@ def main(argv: Optional[list] = None) -> int:
     _add_common_flags(b)
     b.add_argument("--steps", type=int, default=20)
     b.add_argument("--batch_size_bench", type=int, default=8)
+    b.add_argument("--mode", choices=["train", "infer"], default="train",
+                   help="train = fwd+bwd+update; infer = serving forward")
     b.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
