@@ -178,9 +178,15 @@ def _bwd_kernel(ys_ref, prev_ref, next_ref, g_lo_ref, g_hi_ref,
     dys_ref[0] = (dpre * scale_ref[0]).astype(dys_ref.dtype)
 
 
-def _pick_tu(u: int) -> int:
+def _pick_tu(u: int, v: int = 320) -> int:
+    """Largest row-tile that keeps the backward's live vector set inside
+    VMEM. The bwd holds ~8-10 slab-sized f32 SSA values of shape
+    [tu+2, v, c4]; (tu+2)*v = 10880 (tu=32, v=320, the flagship) is a
+    measured fit, while 21760 (v=640, the 2560px stretch config) spilled
+    123 MB of vector registers. Budget just above the known-good point.
+    """
     for tu in (32, 16, 8):
-        if u % tu == 0 and u // tu >= 2:
+        if u % tu == 0 and u // tu >= 2 and (tu + 2) * v <= 11000:
             return tu
     return 0
 
@@ -310,7 +316,7 @@ def use_fused_pool() -> bool:
 
 def bn_relu_pool_supported(ys_shape) -> bool:
     b, u, v, c4 = ys_shape
-    return c4 % 4 == 0 and v % 8 == 0 and _pick_tu(u) > 0
+    return c4 % 4 == 0 and v % 8 == 0 and _pick_tu(u, v) > 0
 
 
 def bn_relu_pool_s2d(ys, scale, shift, interpret: bool | None = None):
@@ -320,7 +326,7 @@ def bn_relu_pool_s2d(ys, scale, shift, interpret: bool | None = None):
     b, u, v, c4 = ys.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tu = _pick_tu(u)
+    tu = _pick_tu(u, v)
     if not bn_relu_pool_supported(ys.shape):
         from .conv_stem import stem_pool_s2d
 
