@@ -105,10 +105,16 @@ def _load_datasets(cfg: Config, args):
 
     if args.synthetic:
         n = args.synthetic
+        # Rotate the page order by fold so `cova sweep --synthetic` runs
+        # genuinely different 60/20/20 splits per fold (mirroring the
+        # reference's disjoint-fold protocol); fold 1 keeps the identity
+        # order for backward compatibility.
+        shift = ((cfg.cv_fold - 1) * n) // 5 if cfg.cv_fold > 0 else 0
+        order = [(i + shift) % n for i in range(n)]
         splits = (
-            list(range(0, int(n * 0.6))),
-            list(range(int(n * 0.6), int(n * 0.8))),
-            list(range(int(n * 0.8), n)),
+            order[0 : int(n * 0.6)],
+            order[int(n * 0.6) : int(n * 0.8)],
+            order[int(n * 0.8) : n],
         )
         base = InMemoryWebDataset(
             n, cfg.img_height, seed=cfg.seed, max_boxes=cfg.max_boxes,
