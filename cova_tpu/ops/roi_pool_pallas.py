@@ -356,22 +356,23 @@ def _fwd_vmem_bytes(h, w, cb, p, ohw, itemsize, b, c) -> int:
 
 def _bwd_vmem_bytes(h, w, cb, p, ohw, itemsize) -> int:
     """Backward holds TWO slabs (fm in + dfm out) and two per-box blocks
-    (pooled + g). The whole dfm output (B x the feature map) is far too
-    large for VMEM, so there is no batch term."""
+    (pooled + g), each double-buffered. The whole dfm output (B x the
+    feature map) is far too large for VMEM, so there is no batch term."""
     return (
         2 * (2 * h * cb * _lanes(w) * itemsize)
         + 2 * (2 * p * cb * _lanes(ohw) * itemsize)
     )
 
 
-# Calibrated against observed compiles on v5e (bf16, 320x320, P=232):
-#   fwd cb=32 B=8  -> model 21.6 MB, compiles;   fwd cb=32 B=32 -> 28.0, OOM
-#   fwd cb=16 B=32 -> 18.3, compiles;            bwd cb=32      -> 39.0, OOM
-#   bwd cb=16      -> 19.6, compiles
-# (The compiler reports a 16 MB scoped limit but single-buffers some blocks
-# the model double-counts, so the effective budget sits between the largest
-# compiling model value, 21.6, and the smallest failing one, 22.25.)
-_SCOPED_VMEM_BUDGET = int(21.8e6)
+# Re-calibrated for the round-2 windowed kernels (both pallas_calls now
+# request vmem_limit_bytes=100 MB; the old kernels' full-width per-chunk
+# SSA values also spilled vector registers on top of the blocks, which is
+# why round 1's effective budget was only ~22 MB). Observed on v5e (bf16,
+# 320x320, P=232): bwd cb=64 -> model 78 MB, compiles and is the fastest
+# (one program per image halves the per-box scalar overhead); fwd cb=64
+# at B=32 -> 47.6 MB, compiles. The 2560px stretch config (h=640, lanes
+# 768) correctly falls back: bwd cb=64 would model 252 MB -> picks 16.
+_SCOPED_VMEM_BUDGET = int(85e6)
 
 
 def _pick_cb(c: int, bytes_at) -> int:
@@ -382,7 +383,7 @@ def _pick_cb(c: int, bytes_at) -> int:
     forced = os.environ.get("COVA_ROI_CB")
     if forced:
         return int(forced)
-    for cb in (32, 16, 8, 4, 2, 1):
+    for cb in (64, 32, 16, 8, 4, 2, 1):
         if c % cb != 0 or cb > c:
             continue
         if bytes_at(cb) <= _SCOPED_VMEM_BUDGET:
@@ -429,6 +430,9 @@ def _roi_pool_fwd_impl(
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b, n_cb, p, cb, out_h * out_w), fm.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(bounds, _fold_fm(fm, cb))

@@ -101,8 +101,11 @@ def test_backward_sums_to_upstream():
 
 def test_pick_cb_calibrated_choices():
     """The VMEM model must reproduce the on-chip-calibrated block choices
-    for the flagship geometry (v5e, bf16, 320x320, P=232): fwd cb=32 at
-    B=8 (4.44 ms measured), demoted to 16 at B=32; bwd cb=16 always."""
+    (v5e, bf16, P=232, round-2 windowed kernels with vmem_limit_bytes on
+    both calls): flagship picks cb=64 for both directions — one program
+    per image, measured fastest (f+b 10.7 -> 8.0 ms at the bench mix) —
+    while the 2560px stretch config (lanes 768) demotes instead of
+    overflowing the arena."""
     from cova_tpu.ops.roi_pool_pallas import (
         _bwd_vmem_bytes,
         _fwd_vmem_bytes,
@@ -112,15 +115,18 @@ def test_pick_cb_calibrated_choices():
     fwd = lambda b: _pick_cb(  # noqa: E731
         64, lambda cb: _fwd_vmem_bytes(320, 320, cb, 232, 9, 2, b, 64)
     )
-    assert fwd(8) == 32
-    assert fwd(32) == 16
+    assert fwd(8) == 64
+    assert fwd(32) == 64
     assert _pick_cb(
         64, lambda cb: _bwd_vmem_bytes(320, 320, cb, 232, 9, 2)
-    ) == 16
+    ) == 64
     # Stretch config (2x resolution) must demote rather than overflow.
     assert _pick_cb(
         64, lambda cb: _fwd_vmem_bytes(640, 640, cb, 232, 9, 2, 2, 64)
-    ) <= 16
+    ) == 32
+    assert _pick_cb(
+        64, lambda cb: _bwd_vmem_bytes(640, 640, cb, 232, 9, 2)
+    ) == 16
 
 
 @pytest.mark.parametrize("seed", [0, 1])
