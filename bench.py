@@ -76,7 +76,10 @@ def main():
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
                 text=True,
-                timeout=int(os.environ.get("COVA_BENCH_TIMEOUT", "1800")),
+                # Remote-tunnel compile latency is highly variable: the
+                # same full-step compile has measured 69 s and 2211 s in
+                # one session. Budget for the slow tail.
+                timeout=int(os.environ.get("COVA_BENCH_TIMEOUT", "3000")),
             )
             last_output = proc.stdout + "\n" + proc.stderr
             line = _parse_json_line(proc.stdout)
