@@ -1,0 +1,29 @@
+"""Benchmark harnesses run end-to-end on CPU at a tiny geometry and emit
+well-formed metric dicts (the driver consumes bench.py's JSON line; the
+serving bench backs `cova bench --mode infer`)."""
+
+import json
+
+from cova_tpu.benchmarks import run_infer_bench, run_train_bench
+
+
+def test_train_bench_smoke():
+    r = run_train_bench(
+        batch_size=2, steps=2, img_height=64,
+        compute_dtype="float32", windows=1,
+    )
+    assert r["metric"] == "train_webpages_per_sec_per_chip"
+    assert r["unit"] == "pages/s"
+    assert r["value"] > 0
+    assert r["step_ms"] > 0
+    json.dumps(r)  # JSON-serializable for the driver line
+
+
+def test_infer_bench_smoke():
+    r = run_infer_bench(
+        batch_size=2, steps=2, img_height=64,
+        compute_dtype="float32", windows=1,
+    )
+    assert r["metric"] == "infer_webpages_per_sec_per_chip"
+    assert r["value"] > 0
+    json.dumps(r)
