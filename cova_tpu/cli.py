@@ -21,7 +21,7 @@ import os
 import sys
 from typing import Optional
 
-from .config import CLASS_NAMES, Config
+from .config import CLASS_NAMES, N_FOLDS, Config
 
 
 def _add_common_flags(p: argparse.ArgumentParser):
@@ -42,7 +42,7 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("-sf", "--sampling_fraction", type=float, default=0.9)
     p.add_argument("-nw", "--num_workers", type=int, default=5)
     p.add_argument("-cvf", "--cv_fold", type=int, default=1,
-                   choices=[-1, 1, 2, 3, 4, 5])
+                   choices=[-1, *range(1, N_FOLDS + 1)])
     # New (TPU framework) flags:
     p.add_argument("--data_dir", default="../data")
     p.add_argument("--split_dir", default="splits")
@@ -109,7 +109,11 @@ def _load_datasets(cfg: Config, args):
         # genuinely different 60/20/20 splits per fold (mirroring the
         # reference's disjoint-fold protocol); fold 1 keeps the identity
         # order for backward compatibility.
-        shift = ((cfg.cv_fold - 1) * n) // 5 if cfg.cv_fold > 0 else 0
+        if not (cfg.cv_fold == -1 or 1 <= cfg.cv_fold <= N_FOLDS):
+            raise ValueError(
+                f"cv_fold must be -1 or 1..{N_FOLDS}, got {cfg.cv_fold}"
+            )
+        shift = ((cfg.cv_fold - 1) * n) // N_FOLDS if cfg.cv_fold > 0 else 0
         order = [(i + shift) % n for i in range(n)]
         splits = (
             order[0 : int(n * 0.6)],
@@ -286,6 +290,7 @@ def cmd_eval(args) -> int:
         f"Fold-{cfg.cv_fold} test_acc_imgwise.csv",
         webpage_info, test_domains,
         f"Fold-{cfg.cv_fold} test_acc_domainwise.csv",
+        k=getattr(args, "top_k", 1),
     )
     print("Class acc:", class_acc[1:], "Macro acc:", macro_acc[1:])
     return 0
@@ -360,6 +365,10 @@ def main(argv: Optional[list] = None) -> int:
         p = sub.add_parser(name)
         _add_common_flags(p)
         p.set_defaults(fn=fn)
+    sub.choices["eval"].add_argument(
+        "--top_k", type=int, default=1,
+        help="retrieval depth k of evaluate_model (reference "
+             "train.py:102,144-153; published numbers use k=1)")
     sub.choices["visualize"].add_argument("--no_render", action="store_true")
     sub.choices["visualize"].add_argument("--max_pages", type=int, default=None)
     sub.choices["sweep"].add_argument(

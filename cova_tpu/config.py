@@ -24,6 +24,11 @@ SEED: int = 123  # reference constants.py:2
 # Padded static batches use the next multiple of 8 that covers it.
 DATASET_MAX_BOXES: int = 230
 
+# Cross-validation protocol size (splits/Fold-{1..5}, reference
+# README.md:21-22). Synthetic fold rotation and CLI validation derive from
+# this single constant.
+N_FOLDS: int = 5
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

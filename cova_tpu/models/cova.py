@@ -96,6 +96,15 @@ class CoVA(nn.Module):
         [B, H/4, W/4, 48] (``data.batching.collate`` ships the latter — the
         3-channel layout is lane-pad-hostile on TPU); boxes: [B, P, 4].
         -> [B, P, V]."""
+        # Channel count doubles as the layout flag: 3 = raw RGB, 48 = the
+        # host-side s2d(4) form (16*3). Nothing else is a valid input; a
+        # genuinely 48-channel raw tensor would be silently misrouted, so
+        # reject anything unexpected loudly here (and in models.resnet
+        # StemConv, which applies the same convention).
+        assert images_u8.shape[-1] in (3, 48), (
+            f"expected RGB [B,H,W,3] or s2d(4) [B,H/4,W/4,48] input, got "
+            f"channels={images_u8.shape[-1]}"
+        )
         x = images_u8.astype(self.compute_dtype) / 255.0  # ToTensor parity
         fm = self.convnet(x, train=train)  # [B, H/4, W/4, C]
         img_h = images_u8.shape[1] * (4 if images_u8.shape[-1] == 48 else 1)

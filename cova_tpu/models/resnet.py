@@ -70,7 +70,13 @@ class StemConv(nn.Module):
     def __call__(self, x):
         # Accept either the raw RGB image or its host-side s2d(4) form
         # (48 = 16*3 channels, ``ops.conv_stem.s2d4_host``); the kernel
-        # parameter stays [7, 7, 3, F] in both cases.
+        # parameter stays [7, 7, 3, F] in both cases. The channel count IS
+        # the layout flag — reject anything that is neither so a genuine
+        # 48-channel raw input can't be silently misrouted.
+        assert x.shape[-1] in (3, 48), (
+            f"StemConv expects RGB (3) or s2d(4) (48) channels, got "
+            f"{x.shape[-1]}"
+        )
         pre_s2d = x.shape[-1] == 48
         cin = 3 if pre_s2d else x.shape[-1]
         kernel = self.param(

@@ -45,6 +45,7 @@ and reduced outside; d(ys) gets the routed gradient times scale4.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -184,7 +185,23 @@ def _pick_tu(u: int, v: int = 320) -> int:
     [tu+2, v, c4]; (tu+2)*v = 10880 (tu=32, v=320, the flagship) is a
     measured fit, while 21760 (v=640, the 2560px stretch config) spilled
     123 MB of vector registers. Budget just above the known-good point.
+
+    The budget is on-chip-calibrated, not derived; ``COVA_BN_POOL_TU``
+    overrides the choice for new geometries/compilers without a code
+    change (same escape hatch as ``COVA_ROI_CB``). 0 disables the kernel
+    (fall back to the unfused XLA path).
     """
+    env = os.environ.get("COVA_BN_POOL_TU")
+    if env is not None:
+        tu = int(env)
+        if tu <= 0:
+            return 0
+        if u % tu != 0 or u // tu < 2:
+            raise ValueError(
+                f"COVA_BN_POOL_TU={tu} does not tile u={u} (need u % tu == 0"
+                " and >= 2 tiles)"
+            )
+        return tu
     for tu in (32, 16, 8):
         if u % tu == 0 and u // tu >= 2 and (tu + 2) * v <= 11000:
             return tu

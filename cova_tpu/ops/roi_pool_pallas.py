@@ -80,9 +80,17 @@ def _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w):
     ylo, yhi = jax.vmap(lambda s, l: _bin_bounds(s, l, out_h, h))(y1, roi_h)
     xlo, xhi = jax.vmap(lambda s, l: _bin_bounds(s, l, out_w, w))(x1, roi_w)
     if box_mask is not None:
+        # Zero ALL bounds of padded boxes (not just hi=lo): the kernels'
+        # whole-box short-circuit tests `yhi[out_h-1] > ylo[0]`, which is
+        # unconditionally false only if padded slots are fully zeroed —
+        # garbage coords in padded rows would otherwise run the window loop
+        # (correct via per-bin empty checks, but wasted work).
         valid = box_mask[..., None]
-        yhi = jnp.where(valid, yhi, ylo)  # empty rows -> skipped entirely
-        xhi = jnp.where(valid, xhi, xlo)
+        zero = jnp.zeros_like(ylo)
+        ylo = jnp.where(valid, ylo, zero)
+        yhi = jnp.where(valid, yhi, zero)
+        xlo = jnp.where(valid, xlo, zero)
+        xhi = jnp.where(valid, xhi, zero)
     packed = jnp.concatenate([ylo, yhi, xlo, xhi], axis=-1)  # [B, P, 2oh+2ow]
     b, p, s = packed.shape
     return packed.reshape(b, p * s)

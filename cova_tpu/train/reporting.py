@@ -31,6 +31,7 @@ def evaluate(
     webpage_info: Optional[np.ndarray] = None,
     test_domains: Optional[np.ndarray] = None,
     test_acc_domainwise_file: Optional[str] = None,
+    k: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (class_acc_test, macro_acc_test), each [n_classes] in %."""
     print(
@@ -38,7 +39,7 @@ def evaluate(
         "accuracies on test data..."
     )
     img_acc, class_acc_test = run_eval(
-        state, test_pipeline, n_classes, class_names, "TEST", log_file
+        state, test_pipeline, n_classes, class_names, "TEST", log_file, k=k
     )
 
     np.savetxt(

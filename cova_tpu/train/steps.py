@@ -136,42 +136,50 @@ def train_step(
 
 
 def retrieval_metric(
-    logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray, n_classes: int
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_classes: int,
+    k: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference eval metric (``train.py:131-154``), vectorized over pages.
 
     For each page and class c in 1..n_classes-1: correct iff the index of the
-    ground-truth class-c box equals the argmax over valid boxes of the class-c
-    logit column. Returns (correct [B, n_classes-1] bool, present [B,
-    n_classes-1] bool).
+    (first) ground-truth class-c box is among the top-``k`` boxes ranked by
+    the class-c logit column over valid boxes — the reference takes the last
+    ``k`` rows of an ascending per-column ``argsort`` (``train.py:144-153``);
+    ``jax.lax.top_k`` over the -inf-masked column is the same set. ``k`` is
+    static (it shapes the top_k output). Returns (correct [B, n_classes-1]
+    bool, present [B, n_classes-1] bool).
     """
     neg = jnp.asarray(-jnp.inf, jnp.float32)
     masked = jnp.where(mask[..., None], logits.astype(jnp.float32), neg)
     corrects, presents = [], []
     for c in range(1, n_classes):
-        pred_idx = jnp.argmax(masked[..., c], axis=1)  # [B]
+        _, topk_idx = jax.lax.top_k(masked[..., c], k)  # [B, k]
         is_c = (labels == c) & mask
         present = jnp.any(is_c, axis=1)
         true_idx = jnp.argmax(is_c, axis=1)  # first class-c box
-        corrects.append((pred_idx == true_idx) & present)
+        hit = jnp.any(topk_idx == true_idx[:, None], axis=1)
+        corrects.append(hit & present)
         presents.append(present)
     return jnp.stack(corrects, 1), jnp.stack(presents, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_classes",))
-def eval_step(state: TrainState, batch: Batch, n_classes: int = 4):
+@functools.partial(jax.jit, static_argnames=("n_classes", "k"))
+def eval_step(state: TrainState, batch: Batch, n_classes: int = 4, k: int = 1):
     """Inference + retrieval metric. BN uses running stats, dropout off
     (reference ``model.eval()``, ``train.py:112``)."""
     out = _apply(state, state.params, batch, train=False)
     correct, present = retrieval_metric(
-        out.logits, batch.labels, batch.box_mask, n_classes
+        out.logits, batch.labels, batch.box_mask, n_classes, k=k
     )
     return {"correct": correct, "present": present, "logits": out.logits}
 
 
-@functools.partial(jax.jit, static_argnames=("n_classes",))
+@functools.partial(jax.jit, static_argnames=("n_classes", "k"))
 def eval_chunk_step(
-    state: TrainState, batches: Batch, n_classes: int = 4
+    state: TrainState, batches: Batch, n_classes: int = 4, k: int = 1
 ) -> jnp.ndarray:
     """Metric over a CHUNK of eval batches in one dispatch.
 
@@ -186,7 +194,7 @@ def eval_chunk_step(
     def body(b: Batch) -> jnp.ndarray:
         out = _apply(state, state.params, b, train=False)
         correct, _ = retrieval_metric(
-            out.logits, b.labels, b.box_mask, n_classes
+            out.logits, b.labels, b.box_mask, n_classes, k=k
         )
         return correct
 

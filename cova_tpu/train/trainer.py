@@ -47,6 +47,10 @@ def run_eval(
     img_id in column 0, class_acc [n_classes] percentages) — the reference
     ``evaluate_model`` contract (``train.py:99-171``).
 
+    ``k``: retrieval depth — class-c correct iff the true class-c box is
+    among the top-k boxes by class-c logit (reference ``train.py:144-153``;
+    the reference default and every published number is k=1).
+
     ``sharding``: optional placement for eval batches when the state lives
     on a mesh (see ``parallel.mesh.eval_batch_sharding``).
 
@@ -80,7 +84,7 @@ def run_eval(
             stacked = jax.tree.map(
                 lambda x: jax.device_put(x, chunk_sharding), stacked
             )
-        correct = eval_chunk_step(state, stacked, n_classes=n_classes)
+        correct = eval_chunk_step(state, stacked, n_classes=n_classes, k=k)
         pending.append(([(ids, b) for ids, b, _ in buf], correct))
 
     buf = []

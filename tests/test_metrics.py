@@ -68,6 +68,76 @@ def test_absent_class_is_incorrect(rng):
     assert not np.asarray(c)[0, 1] and not np.asarray(c)[0, 2]
 
 
+def torch_topk_oracle(logits, labels, mask, n_classes, k):
+    """Direct transcription of the reference top-k scoring
+    (train.py:144-153): ascending per-column argsort over the page's real
+    boxes, keep the last k rows, class-c correct iff the (first) true
+    class-c row index is among column c's top-k entries."""
+    import torch
+
+    B = logits.shape[0]
+    correct = np.zeros((B, n_classes - 1), bool)
+    for b in range(B):
+        idx = np.where(mask[b])[0]
+        output_img = torch.from_numpy(logits[b][idx])
+        labels_img = torch.from_numpy(labels[b][idx]).view(-1, 1)
+        label_indices = torch.arange(labels_img.shape[0]).view(-1, 1)
+        indexed_labels = torch.cat((label_indices, labels_img), dim=1)
+        indexed_labels = indexed_labels[indexed_labels[:, -1] != 0]
+        top_k_predictions = torch.argsort(output_img, dim=0)[
+            output_img.shape[0] - k:
+        ]
+        for c in range(1, n_classes):
+            rows_c = indexed_labels[indexed_labels[:, -1] == c]
+            if rows_c.shape[0] == 0:
+                continue
+            true_bbox = rows_c[0, 0]
+            pred_bboxes = top_k_predictions[:, c]
+            correct[b, c - 1] = bool((true_bbox == pred_bboxes).any())
+    return correct
+
+
+def test_topk_matches_torch_oracle(rng):
+    """retrieval_metric(k) vs the reference transcription for k in 1,2,5."""
+    B, P, C = 6, 24, 4
+    logits = rng.normal(size=(B, P, C)).astype(np.float32)
+    labels = np.zeros((B, P), np.int32)
+    mask = np.zeros((B, P), bool)
+    for b in range(B):
+        n = int(rng.integers(8, P))
+        mask[b, :n] = True
+        pos = rng.choice(n, 3, replace=False)
+        labels[b, pos] = [1, 2, 3]
+    for k in (1, 2, 5):
+        got_c, _ = retrieval_metric(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask),
+            C, k=k,
+        )
+        want_c = torch_topk_oracle(logits, labels, mask, C, k)
+        np.testing.assert_array_equal(np.asarray(got_c), want_c)
+
+
+def test_topk_monotone(rng):
+    """Correctness at k must imply correctness at every k' > k."""
+    B, P, C = 8, 30, 4
+    logits = rng.normal(size=(B, P, C)).astype(np.float32)
+    labels = np.zeros((B, P), np.int32)
+    mask = np.ones((B, P), bool)
+    for b in range(B):
+        pos = rng.choice(P, 3, replace=False)
+        labels[b, pos] = [1, 2, 3]
+    prev = None
+    for k in (1, 2, 4, 8):
+        c, _ = retrieval_metric(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask),
+            C, k=k,
+        )
+        c = np.asarray(c)
+        if prev is not None:
+            assert np.all(c >= prev)
+        prev = c
+
+
 def test_masked_ce_sum_matches_torch(rng):
     import torch
 
