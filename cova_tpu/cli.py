@@ -161,11 +161,22 @@ def _build(cfg: Config, train_ds, val_ds, test_ds):
     from .data.batching import pad_batch
     from .data.pipeline import make_pipelines
     from .models.cova import build_model
+    from .parallel import distributed
     from .train.steps import create_train_state
 
     if train_ds.n_additional_feat:
         cfg = cfg.replace(n_additional_feat=train_ds.n_additional_feat)
-    train_p, val_p, test_p = make_pipelines(cfg, train_ds, val_ds, test_ds)
+    # Multi-host: stripe the train pipeline per host (each host feeds
+    # batch_size / process_count pages; the trainer assembles the global
+    # batch). Single-process: (0, 1) no-op.
+    host_shard = (
+        distributed.host_shard_args()
+        if distributed.is_multiprocess()
+        else None
+    )
+    train_p, val_p, test_p = make_pipelines(
+        cfg, train_ds, val_ds, test_ds, host_shard=host_shard
+    )
     model = build_model(cfg)
     _, example = next(iter(val_p.epoch(0)))
     example, _ = pad_batch(example, cfg.eval_batch_size)
@@ -184,6 +195,19 @@ def cmd_train(args) -> int:
     from .utils.logging import MetricsLogger, print_and_log
 
     cfg = _cfg_from_args(args)
+    from .parallel import distributed
+
+    if distributed.is_multiprocess() and cfg.num_devices == 1:
+        # An N-process launch IS the multi-device intent; default to the
+        # full global device set rather than silently training N separate
+        # single-device copies on striped data.
+        import jax
+
+        print(
+            f"Multi-host launch ({jax.process_count()} processes): "
+            "using all global devices (--num_devices 0)"
+        )
+        cfg = cfg.replace(num_devices=0)
     train_ds, val_ds, test_ds, webpage_info, test_domains = _load_datasets(
         cfg, args
     )
@@ -192,10 +216,26 @@ def cmd_train(args) -> int:
     )
 
     if getattr(args, "init_checkpoint", None):
-        from .utils.torch_port import load_torch_file, port_backbone_for
+        from .utils.pretrained import (
+            BACKBONE_TO_WEIGHTS,
+            PRETRAINED_REGISTRY,
+            load_verified_backbone,
+        )
 
-        bp, bs = port_backbone_for(
-            cfg.backbone, load_torch_file(args.init_checkpoint)
+        canonical = PRETRAINED_REGISTRY[
+            BACKBONE_TO_WEIGHTS[cfg.backbone]
+        ]["file"]
+        is_canonical = (
+            os.path.basename(args.init_checkpoint) == canonical
+        )
+        if not is_canonical:
+            print(
+                f"Note: {args.init_checkpoint} is not the canonical "
+                f"{canonical}; loading without the sha256 pin "
+                "(custom/fine-tuned checkpoint path)."
+            )
+        bp, bs = load_verified_backbone(
+            cfg.backbone, args.init_checkpoint, verify=is_canonical
         )
         state = state.replace(
             params={**state.params, "convnet": bp},
@@ -333,17 +373,26 @@ def cmd_sweep(args) -> int:
 def cmd_bench(args) -> int:
     from . import benchmarks
 
-    fn = (
-        benchmarks.run_infer_bench
-        if args.mode == "infer"
-        else benchmarks.run_train_bench
-    )
-    result = fn(
-        batch_size=args.batch_size_bench,
-        steps=args.steps,
-        img_height=args.img_height,
-        compute_dtype=args.compute_dtype,
-    )
+    if args.mode == "e2e":
+        # Pipeline-fed sustained throughput + the compute-path ceiling in
+        # one JSON line (run_e2e_bench measures both).
+        result = benchmarks.run_e2e_bench(
+            batch_size=args.batch_size_bench,
+            img_height=args.img_height,
+            compute_dtype=args.compute_dtype,
+        )
+    else:
+        fn = (
+            benchmarks.run_infer_bench
+            if args.mode == "infer"
+            else benchmarks.run_train_bench
+        )
+        result = fn(
+            batch_size=args.batch_size_bench,
+            steps=args.steps,
+            img_height=args.img_height,
+            compute_dtype=args.compute_dtype,
+        )
     import json
 
     print(json.dumps(result))
@@ -351,6 +400,20 @@ def cmd_bench(args) -> int:
 
 
 def main(argv: Optional[list] = None) -> int:
+    # Some environments register a platform plugin from sitecustomize at
+    # interpreter start, overriding JAX_PLATFORMS from the environment;
+    # re-assert the user's choice through the config API (works until the
+    # backend initializes — which is why it must happen here, first).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Multi-host wiring MUST precede any backend touch (jax.devices() etc.
+    # freeze the topology); on a single host this is a no-op. SURVEY.md §5.8.
+    from .parallel import distributed
+
+    distributed.initialize()
+
     parser = argparse.ArgumentParser(
         "cova", description="CoVA-TPU: context-aware webpage object detection"
     )
@@ -379,8 +442,12 @@ def main(argv: Optional[list] = None) -> int:
     _add_common_flags(b)
     b.add_argument("--steps", type=int, default=20)
     b.add_argument("--batch_size_bench", type=int, default=8)
-    b.add_argument("--mode", choices=["train", "infer"], default="train",
-                   help="train = fwd+bwd+update; infer = serving forward")
+    b.add_argument("--mode", choices=["train", "infer", "e2e"],
+                   default="train",
+                   help="train = fwd+bwd+update (device-staged batch); "
+                        "infer = serving forward (use -bs 1 for single-"
+                        "page latency); e2e = batches fed from the host "
+                        "DataPipeline (sustained throughput)")
     b.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

@@ -16,18 +16,22 @@ import jax
 
 
 def device_prefetch(
-    iterator: Iterable, size: int = 2, sharding=None
+    iterator: Iterable, size: int = 2, sharding=None, place=None
 ) -> Iterator:
     """Yield items with their array leaves already moving to device.
 
     iterator yields (ids, Batch); arrays are device_put (optionally with a
-    sharding for the mesh path) up to ``size`` items ahead.
+    sharding for the mesh path) up to ``size`` items ahead. ``place``
+    overrides the placement entirely (multi-host: assemble the local stripe
+    into a global array, ``parallel.distributed.local_batch_to_global``).
     """
     queue: deque = deque()
 
     def put(item):
         ids, batch = item
-        if sharding is not None:
+        if place is not None:
+            batch = place(batch)
+        elif sharding is not None:
             batch = jax.tree.map(
                 lambda x: jax.device_put(x, sharding), batch
             )

@@ -75,6 +75,17 @@ class DataPipeline:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _shard_order(self, order: np.ndarray) -> np.ndarray:
+        if self.shard_count == 1:
+            return order
+        # Equalize stripes: every host MUST see the same number of batches
+        # per epoch, or the sharded train step's collectives deadlock when
+        # one host runs an extra step. Cycle pages from the front of the
+        # order to round up to a shard_count multiple (the same
+        # page-cycling rule pad_batch applies to the last partial batch).
+        n = len(order)
+        m = -(-n // self.shard_count) * self.shard_count
+        if m != n:
+            order = np.concatenate([order, order[: m - n]])
         return order[self.shard_index :: self.shard_count]
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
@@ -196,20 +207,39 @@ class DataPipeline:
         return self.epoch()
 
 
-def make_pipelines(cfg, train_ds, val_ds, test_ds):
+def make_pipelines(cfg, train_ds, val_ds, test_ds, host_shard=None):
     """Build the three split pipelines (reference ``load_data``,
     ``datasets.py:193-265``): train shuffles + subsamples BG; val/test use
-    batch_size = cfg.eval_batch_size, no shuffle, no sampling."""
+    batch_size = cfg.eval_batch_size, no shuffle, no sampling.
+
+    ``host_shard``: optional (shard_index, shard_count) from
+    ``parallel.distributed.host_shard_args()``. With shard_count > 1 the
+    TRAIN pipeline reads a disjoint per-host stripe of each epoch's order
+    and yields local batches of ``cfg.batch_size // shard_count`` — the
+    trainer assembles them into the global batch
+    (``distributed.local_batch_to_global``), so the global batch stays
+    ``cfg.batch_size`` pages and the CE-sum gradient scale is unchanged.
+    Val/test stay unsharded: every host reads the full (deterministic)
+    split so eval batches can be placed as identical global arrays.
+    """
     pad = cfg.pad_boxes
+    shard_index, shard_count = host_shard or (0, 1)
+    if cfg.batch_size % shard_count != 0:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} must be divisible by the host "
+            f"count {shard_count} (each host feeds batch_size/hosts pages)"
+        )
     train = DataPipeline(
         train_ds,
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size // shard_count,
         pad_boxes=pad,
         context_size=cfg.context_size,
         shuffle=True,
         sampling_fraction=cfg.sampling_fraction,
         seed=cfg.seed,
         num_threads=cfg.num_workers,
+        shard_index=shard_index,
+        shard_count=shard_count,
     )
     evals = [
         DataPipeline(

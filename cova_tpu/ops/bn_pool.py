@@ -189,7 +189,9 @@ def _pick_tu(u: int, v: int = 320) -> int:
     The budget is on-chip-calibrated, not derived; ``COVA_BN_POOL_TU``
     overrides the choice for new geometries/compilers without a code
     change (same escape hatch as ``COVA_ROI_CB``). 0 disables the kernel
-    (fall back to the unfused XLA path).
+    (fall back to the unfused XLA path). On a compile-time VMEM OOM,
+    ``ops.vmem_fallback`` shrinks ``_TU_BUDGET`` and retries instead of
+    crashing.
     """
     env = os.environ.get("COVA_BN_POOL_TU")
     if env is not None:
@@ -203,9 +205,21 @@ def _pick_tu(u: int, v: int = 320) -> int:
             )
         return tu
     for tu in (32, 16, 8):
-        if u % tu == 0 and u // tu >= 2 and (tu + 2) * v <= 11000:
+        if u % tu == 0 and u // tu >= 2 and (tu + 2) * v <= _TU_BUDGET:
             return tu
     return 0
+
+
+# Calibrated live-vector budget for _pick_tu; mutable for the compile-OOM
+# fallback (a smaller budget forces smaller tu, eventually tu=0 = the
+# always-correct unfused XLA path).
+_TU_BUDGET = 11000
+
+
+def shrink_tu_budget(factor: int = 2) -> int:
+    global _TU_BUDGET
+    _TU_BUDGET = max(1, _TU_BUDGET // factor)
+    return _TU_BUDGET
 
 
 def _fwd_impl(ys, scale4, shift4, tu, interpret):

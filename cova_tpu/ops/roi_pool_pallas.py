@@ -380,7 +380,27 @@ def _bwd_vmem_bytes(h, w, cb, p, ohw, itemsize) -> int:
 # (one program per image halves the per-box scalar overhead); fwd cb=64
 # at B=32 -> 47.6 MB, compiles. The 2560px stretch config (h=640, lanes
 # 768) correctly falls back: bwd cb=64 would model 252 MB -> picks 16.
-_SCOPED_VMEM_BUDGET = int(85e6)
+#
+# The budget is calibrated, not derived — at an unanchored geometry the
+# compiler may still OOM. It is therefore MUTABLE: ``ops.vmem_fallback``
+# shrinks it and recompiles instead of crashing (VERDICT r2 item 7), and
+# ``COVA_ROI_VMEM_BUDGET`` pins it from the environment.
+_SCOPED_VMEM_BUDGET = int(
+    float(__import__("os").environ.get("COVA_ROI_VMEM_BUDGET", 85e6))
+)
+
+
+def vmem_budget() -> int:
+    return _SCOPED_VMEM_BUDGET
+
+
+def shrink_vmem_budget(factor: int = 2) -> int:
+    """Halve the modeled-VMEM budget (compile-OOM fallback); returns the
+    new value. Takes effect at the next trace (callers must clear jit
+    caches — see ``ops.vmem_fallback.with_vmem_fallback``)."""
+    global _SCOPED_VMEM_BUDGET
+    _SCOPED_VMEM_BUDGET = max(1, _SCOPED_VMEM_BUDGET // factor)
+    return _SCOPED_VMEM_BUDGET
 
 
 def _pick_cb(c: int, bytes_at) -> int:

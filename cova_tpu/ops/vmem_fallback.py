@@ -1,0 +1,70 @@
+"""Graceful degradation on compile-time VMEM exhaustion.
+
+The Pallas kernels' block sizes come from calibrated VMEM models
+(``roi_pool_pallas._SCOPED_VMEM_BUDGET``, ``bn_pool._TU_BUDGET``) anchored
+on v5e at the flagship/stretch geometries. At an unanchored geometry or
+after a compiler change the model can be optimistic and Mosaic/XLA raises a
+RESOURCE_EXHAUSTED ("VMEM", "scoped memory") at compile time — which
+surfaces when the enclosing jit step first runs, far from the kernel's own
+call site. ``with_vmem_fallback`` is the recovery loop the trainer and
+benchmarks wrap around that first dispatch: shrink every calibrated budget,
+drop the jit caches so the kernels re-trace with smaller blocks, and retry.
+The limits (smallest cb, tu=0) are the always-correct fallbacks — cb=1
+windows and the unfused XLA bn path — so the loop terminates in a working
+configuration instead of a crash (VERDICT r2 item 7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, TypeVar
+
+T = TypeVar("T")
+
+_OOM_MARKERS = (
+    "RESOURCE_EXHAUSTED",
+    "VMEM",
+    "vmem",
+    "scoped memory",
+    "Scoped memory",
+    "exceeds the memory limit",
+)
+
+
+def is_vmem_oom(err: BaseException) -> bool:
+    s = f"{type(err).__name__}: {err}"
+    return any(m in s for m in _OOM_MARKERS)
+
+
+def with_vmem_fallback(
+    fn: Callable[[], T], max_retries: int = 4, _shrink=None
+) -> T:
+    """Run ``fn`` (typically: the first dispatch of a jitted step); on a
+    VMEM compile OOM, shrink the kernel budgets, clear the jit caches, and
+    retry — up to ``max_retries`` times, then re-raise.
+
+    ``_shrink``: test hook; defaults to shrinking both kernel budgets.
+    """
+    import jax
+
+    from . import bn_pool, roi_pool_pallas
+
+    def default_shrink():
+        cb_budget = roi_pool_pallas.shrink_vmem_budget()
+        tu_budget = bn_pool.shrink_tu_budget()
+        return cb_budget, tu_budget
+
+    shrink = _shrink or default_shrink
+    for attempt in range(max_retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered by is_vmem_oom
+            if not is_vmem_oom(e) or attempt == max_retries:
+                raise
+            budgets = shrink()
+            print(
+                f"VMEM compile OOM ({type(e).__name__}); shrinking kernel "
+                f"budgets to {budgets} and recompiling "
+                f"(attempt {attempt + 1}/{max_retries})"
+            )
+            jax.clear_caches()
+    raise AssertionError("unreachable")

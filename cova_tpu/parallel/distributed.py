@@ -1,4 +1,4 @@
-"""Multi-host (pod-scale) initialization and input sharding glue.
+"""Multi-host (pod-scale) initialization and input sharding.
 
 The reference has no distributed layer at all (SURVEY.md §2); this module is
 the framework's multi-host entry. On a TPU pod slice each host runs the same
@@ -15,8 +15,15 @@ automatic on TPU), after which:
     ``local_batch_to_global`` assembles a globally-sharded array from
     per-host data via ``jax.make_array_from_process_local_data``.
 
-Single-process runs are no-ops throughout, so the same code path serves one
-chip and a pod.
+This is wired into the product: ``cli.main`` calls ``initialize()`` before
+anything touches the backend, ``make_pipelines`` stripes the train pipeline
+with ``host_shard_args()``, and the trainer routes batches through
+``local_batch_to_global`` / ``full_batch_to_global``. Single-process runs
+are no-ops throughout, so the same code path serves one chip and a pod.
+
+Manual launchers (e.g. multi-process CPU, ``tests/test_multiprocess.py``)
+set ``COVA_COORDINATOR_ADDRESS`` + ``COVA_NUM_PROCESSES`` +
+``COVA_PROCESS_ID``; TPU pod slices need none of them (auto-discovery).
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ import os
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 
 _initialized = False
 
@@ -42,7 +50,22 @@ _MULTIHOST_ENV_VARS = (
 
 
 def _looks_multihost() -> bool:
-    return any(os.environ.get(v) for v in _MULTIHOST_ENV_VARS)
+    for v in _MULTIHOST_ENV_VARS:
+        val = os.environ.get(v)
+        if not val:
+            continue
+        if v == "TPU_WORKER_HOSTNAMES" and "," not in val:
+            # A single-entry worker list is a one-host slice (tunnel/dev
+            # setups export it too) — argless initialize would hang waiting
+            # for a coordinator that never forms.
+            continue
+        return True
+    return False
+
+
+def _env_int(name: str) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v else None
 
 
 def initialize(
@@ -58,8 +81,12 @@ def initialize(
 
     * explicit coordinator args -> ``jax.distributed.initialize(...)`` with
       them (manual launchers);
-    * no args but a multi-host environment (coordinator env var or a TPU
-      pod slice) -> argless ``jax.distributed.initialize()``, which
+    * no args but ``COVA_COORDINATOR_ADDRESS`` set -> coordinator/count/id
+      from ``COVA_{COORDINATOR_ADDRESS,NUM_PROCESSES,PROCESS_ID}`` — the
+      manual-launcher env contract (multi-process CPU, custom schedulers;
+      count/id may be omitted where the platform can discover them);
+    * no args but a multi-host environment (other coordinator env var or a
+      TPU pod slice) -> argless ``jax.distributed.initialize()``, which
       auto-discovers the topology — on multi-host TPU this call is
       REQUIRED, or every host sees only its local chips;
     * single-process run -> no-op, so one code path serves laptop and pod.
@@ -69,6 +96,15 @@ def initialize(
     global _initialized
     if _initialized:
         return
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COVA_COORDINATOR_ADDRESS")
+        if coordinator_address:
+            if num_processes is None:
+                num_processes = _env_int("COVA_NUM_PROCESSES")
+            if process_id is None:
+                process_id = _env_int("COVA_PROCESS_ID")
+        else:
+            coordinator_address = None
     if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -81,25 +117,49 @@ def initialize(
         _initialized = True
 
 
+def is_multiprocess() -> bool:
+    """True when this run spans more than one host process."""
+    return jax.process_count() > 1
+
+
 def host_shard_args() -> Tuple[int, int]:
     """(shard_index, shard_count) for DataPipeline: each host reads a
     disjoint stripe of every epoch's page order."""
     return jax.process_index(), jax.process_count()
 
 
-def local_batch_to_global(local_batch, mesh, sharding):
+def local_batch_to_global(local_batch, sharding):
     """Assemble a globally-sharded Batch from this host's local stripe.
 
     local_batch leaves have the per-host batch dim; the returned arrays have
-    the global batch dim, sharded over the mesh's data axis.
+    the global batch dim (local * process_count), sharded over the mesh's
+    data axis. The per-host stripe order (``DataPipeline._shard_order``)
+    lines hosts up so the global batch is the same page SET the
+    single-process run would form.
     """
 
     def assemble(x):
-        global_shape = (
-            x.shape[0] * jax.process_count(),
-        ) + tuple(x.shape[1:])
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
         return jax.make_array_from_process_local_data(
             sharding, x, global_shape
         )
 
     return jax.tree.map(assemble, local_batch)
+
+
+def full_batch_to_global(batch, sharding):
+    """Place a batch that EVERY host holds identically (eval: val/test reads
+    are unsharded and deterministic) onto the global mesh.
+
+    ``global_shape == local.shape`` tells
+    ``jax.make_array_from_process_local_data`` the local array IS the global
+    one; each process slices out its addressable shards, so this serves both
+    replicated and data-sharded eval layouts.
+    """
+
+    def place(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+    return jax.tree.map(place, batch)

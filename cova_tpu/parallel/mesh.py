@@ -151,8 +151,23 @@ def state_shardings(state: Any, mesh: Mesh):
 
 
 def shard_train_state(state, mesh: Mesh):
-    """Place a TrainState onto the mesh per ``state_shardings``."""
-    return jax.device_put(state, state_shardings(state, mesh))
+    """Place a TrainState onto the mesh per ``state_shardings``.
+
+    Multi-process: every host holds the identical full state (same init
+    seed / same restored checkpoint), so each leaf is placed with
+    ``make_array_from_process_local_data(global_shape == local.shape)`` —
+    each process carves out its addressable shards; ``jax.device_put``
+    cannot place onto non-addressable devices.
+    """
+    shardings = state_shardings(state, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+
+    def place(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sh, x, x.shape)
+
+    return jax.tree.map(place, state, shardings)
 
 
 def shard_batch(batch, mesh: Mesh):

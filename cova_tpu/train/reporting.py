@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..utils.logging import print_and_log
+from ..utils.logging import _is_primary, print_and_log
 from .trainer import run_eval
 
 
@@ -42,14 +42,15 @@ def evaluate(
         state, test_pipeline, n_classes, class_names, "TEST", log_file, k=k
     )
 
-    np.savetxt(
-        test_acc_imgwise_file,
-        img_acc,
-        "%s,%.2f,%.2f,%.2f",
-        ",",
-        header="img_id,price_acc,title_acc,image_acc",
-        comments="",
-    )
+    if _is_primary():  # every host computes; process 0 owns the artifacts
+        np.savetxt(
+            test_acc_imgwise_file,
+            img_acc,
+            "%s,%.2f,%.2f,%.2f",
+            ",",
+            header="img_id,price_acc,title_acc,image_acc",
+            comments="",
+        )
 
     if (
         test_domains is None
@@ -59,28 +60,30 @@ def evaluate(
         macro_acc_test = np.zeros(len(class_names))
     else:
         domain_rows = []
-        with open(test_acc_domainwise_file, "w") as f:
-            f.write(
-                "Domain,N_examples,%s,%s,%s\n"
-                % (class_names[1], class_names[2], class_names[3])
-            )
-            for domain in np.atleast_1d(test_domains):
-                domain_imgs = webpage_info[
-                    np.isin(webpage_info[:, 1], domain), 0
-                ].astype(np.int32)
-                sel = np.isin(img_acc[:, 0], domain_imgs)
-                domain_class_acc = img_acc[sel, 1:].mean(0) * 100
-                domain_rows.append(domain_class_acc)
-                f.write(
-                    "%s,%d,%.2f,%.2f,%.2f\n"
-                    % (
-                        domain,
-                        len(domain_imgs),
-                        domain_class_acc[0],
-                        domain_class_acc[1],
-                        domain_class_acc[2],
-                    )
+        lines = [
+            "Domain,N_examples,%s,%s,%s\n"
+            % (class_names[1], class_names[2], class_names[3])
+        ]
+        for domain in np.atleast_1d(test_domains):
+            domain_imgs = webpage_info[
+                np.isin(webpage_info[:, 1], domain), 0
+            ].astype(np.int32)
+            sel = np.isin(img_acc[:, 0], domain_imgs)
+            domain_class_acc = img_acc[sel, 1:].mean(0) * 100
+            domain_rows.append(domain_class_acc)
+            lines.append(
+                "%s,%d,%.2f,%.2f,%.2f\n"
+                % (
+                    domain,
+                    len(domain_imgs),
+                    domain_class_acc[0],
+                    domain_class_acc[1],
+                    domain_class_acc[2],
                 )
+            )
+        if _is_primary():
+            with open(test_acc_domainwise_file, "w") as f:
+                f.writelines(lines)
         macro_acc_test = np.zeros(len(class_names))
         # The reference re-reads its own CSV here (evaluate.py:71-78), which
         # rounds to 2 decimals; reproduce that rounding for parity.
@@ -104,6 +107,8 @@ def append_fold_row(
     """Append one row to ``fold_wise_acc.csv`` (``main.py:166-184``)."""
     import os
 
+    if not _is_primary():
+        return
     with open(fold_wise_acc_file, "a") as f:
         if os.stat(fold_wise_acc_file).st_size == 0:
             f.write(

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..data.batching import pad_batch
 from ..data.device_prefetch import device_prefetch
+from ..ops.vmem_fallback import with_vmem_fallback
 from ..utils.checkpoint import (
     CheckpointManager,
     restore_train_state,
@@ -72,6 +73,7 @@ def run_eval(
         chunk_sharding = NamedSharding(
             sharding.mesh, PartitionSpec(None, *sharding.spec)
         )
+    multiprocess = jax.process_count() > 1
 
     def flush(buf):
         if not buf:
@@ -81,10 +83,21 @@ def run_eval(
             group.append(group[-1])
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
         if chunk_sharding is not None:
-            stacked = jax.tree.map(
-                lambda x: jax.device_put(x, chunk_sharding), stacked
-            )
-        correct = eval_chunk_step(state, stacked, n_classes=n_classes, k=k)
+            if multiprocess:
+                # Every host reads the full (deterministic) eval split, so
+                # the stacked chunk is identical across hosts — place it as
+                # one global array (device_put cannot reach non-addressable
+                # devices).
+                from ..parallel.distributed import full_batch_to_global
+
+                stacked = full_batch_to_global(stacked, chunk_sharding)
+            else:
+                stacked = jax.tree.map(
+                    lambda x: jax.device_put(x, chunk_sharding), stacked
+                )
+        correct = with_vmem_fallback(
+            lambda: eval_chunk_step(state, stacked, n_classes=n_classes, k=k)
+        )
         pending.append(([(ids, b) for ids, b, _ in buf], correct))
 
     buf = []
@@ -167,6 +180,7 @@ def fit(
     # arrays; sharding them here covers both paths).
     train_sharding = None
     val_sharding = None
+    train_place = None
     if mesh is not None:
         from ..parallel.mesh import (
             batch_sharding,
@@ -177,6 +191,14 @@ def fit(
         state = shard_train_state(state, mesh)
         train_sharding = batch_sharding(mesh)
         val_sharding = eval_batch_sharding(mesh, val_pipeline.batch_size)
+        if jax.process_count() > 1:
+            # Multi-host: each host's pipeline yields its per-host stripe
+            # (batch_size/hosts pages); assemble the global data-sharded
+            # batch from the stripes. The jitted step is unchanged.
+            from ..parallel.distributed import local_batch_to_global
+
+            def train_place(batch):  # noqa: F811
+                return local_batch_to_global(batch, train_sharding)
 
     # Profiling hook (reference has only wall-clock epoch lines,
     # train.py:32,62-71): set COVA_PROFILE_DIR to capture a jax.profiler
@@ -192,14 +214,26 @@ def fit(
             profiling = True
         start = time.time()
         step_metrics = []
+        # Pad to the pipeline's LOCAL batch size (== cfg.batch_size single-
+        # host; cfg.batch_size / process_count per host on a pod).
+        local_bs = train_pipeline.batch_size
         padded = (
-            (ids, pad_batch(b, cfg.batch_size)[0])
+            (ids, pad_batch(b, local_bs)[0])
             for ids, b in train_pipeline.epoch(epoch=epoch)
         )
         for _, batch in device_prefetch(padded, size=2,
-                                        sharding=train_sharding):
+                                        sharding=train_sharding,
+                                        place=train_place):
             rng, step_rng = jax.random.split(rng)
-            state, m = train_step(state, batch, step_rng)
+            if not step_metrics and epoch == start_epoch:
+                # First dispatch compiles the step; recover from a VMEM
+                # compile OOM at unanchored geometries by shrinking the
+                # kernel budgets and re-tracing (ops.vmem_fallback).
+                state, m = with_vmem_fallback(
+                    lambda: train_step(state, batch, step_rng)
+                )
+            else:
+                state, m = train_step(state, batch, step_rng)
             step_metrics.append(m)
 
         if profiling:

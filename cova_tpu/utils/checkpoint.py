@@ -18,8 +18,25 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _fetch(x: Any) -> np.ndarray:
+    """Host copy of a leaf. Multi-host arrays sharded over non-addressable
+    devices (tensor-parallel params on a pod) are resharded to replicated
+    first — np.asarray can read a fully-replicated global array but not a
+    partially-addressable one."""
+    if (
+        isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+        and not x.is_fully_replicated
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(x.sharding.mesh, PartitionSpec())
+        x = jax.jit(lambda a: a, out_shardings=repl)(x)
+    return np.asarray(x)
+
+
 def _to_saveable(tree: Any) -> Any:
-    return jax.tree.map(np.asarray, tree)
+    return jax.tree.map(_fetch, tree)
 
 
 class CheckpointManager:

@@ -13,7 +13,24 @@ import time
 from typing import Optional
 
 
+def _is_primary() -> bool:
+    """True on the host that owns stdout and artifact files (process 0).
+
+    On a pod every host runs the same loop; without this guard each host
+    would duplicate every log line and race on shared-filesystem artifacts.
+    Lazy jax import: by the time anything logs, the backend is already up.
+    """
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def print_and_log(msg: str, log_file: Optional[str], write_mode: str = "a"):
+    if not _is_primary():
+        return
     print(msg)
     if log_file:
         os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
@@ -31,7 +48,7 @@ class MetricsLogger:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     def log(self, event: str, **fields):
-        if not self.path:
+        if not self.path or not _is_primary():
             return
         rec = {"ts": time.time(), "event": event, **fields}
         with open(self.path, "a") as f:

@@ -36,13 +36,32 @@ def test_explicit_coordinator_calls_jax_distributed(monkeypatch):
     )]
 
 
-def test_env_marker_triggers_argless_initialize(monkeypatch):
+def test_cova_env_passes_explicit_args(monkeypatch):
+    """The COVA_* env triple is the manual-launcher contract (multi-process
+    CPU has no auto-discovery): it must reach jax.distributed.initialize as
+    explicit arguments."""
     calls = []
     monkeypatch.setattr(
         distributed.jax.distributed, "initialize",
         lambda **kw: calls.append(kw),
     )
     monkeypatch.setenv("COVA_COORDINATOR_ADDRESS", "host0:1234")
+    monkeypatch.setenv("COVA_NUM_PROCESSES", "2")
+    monkeypatch.setenv("COVA_PROCESS_ID", "1")
+    distributed.initialize()
+    assert calls == [dict(
+        coordinator_address="host0:1234", num_processes=2, process_id=1,
+    )]
+
+
+def test_platform_env_marker_triggers_argless_initialize(monkeypatch):
+    """Platform markers (TPU pod metadata) -> argless auto-discovery."""
+    calls = []
+    monkeypatch.setattr(
+        distributed.jax.distributed, "initialize",
+        lambda **kw: calls.append(kw),
+    )
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
     distributed.initialize()
     assert calls == [{}]  # argless: jax auto-discovers the topology
 
