@@ -73,6 +73,12 @@ class MaskedBatchNorm(nn.Module):
     eps: float = 1e-5
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    # group_fold=g: the input carries g channel GROUPS of ``features`` each
+    # ([..., g*features], group-major — e.g. the stem conv's s2d(2) output
+    # (ey, ex, o) or a W-packed map (ex, c)); statistics fold over the
+    # groups, so the math equals BatchNorm over the unpacked layout while
+    # every pass runs on full 128-lane tiles (no C=64 padding tax).
+    group_fold: int = 1
 
     @nn.compact
     def __call__(
@@ -83,6 +89,8 @@ class MaskedBatchNorm(nn.Module):
         return_coefficients: bool = False,
     ):
         f = self.features
+        g = self.group_fold
+        assert x.shape[-1] == g * f, (x.shape, g, f)
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
         )
@@ -100,10 +108,16 @@ class MaskedBatchNorm(nn.Module):
             if mask is None:
                 # Unmasked (e.g. image-level BatchNorm2d over NHWC): plain
                 # reductions, static count.
-                cnt = jnp.float32(np.prod(x.shape[:-1]))
-                mean = jnp.mean(xf, axis=red)
-                var = jnp.mean(xf**2, axis=red) - mean**2
+                cnt = jnp.float32(np.prod(x.shape[:-1]) * g)
+                s1 = jnp.sum(xf, axis=red)
+                s2 = jnp.sum(xf**2, axis=red)
+                if g > 1:
+                    s1 = s1.reshape(g, f).sum(0)
+                    s2 = s2.reshape(g, f).sum(0)
+                mean = s1 / cnt
+                var = s2 / cnt - mean**2
             else:
+                assert g == 1, "group_fold supports unmasked inputs only"
                 m = mask.astype(jnp.float32)[..., None]
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
                 mean = jnp.sum(xf * m, axis=red) / cnt
@@ -121,16 +135,16 @@ class MaskedBatchNorm(nn.Module):
                 )
 
         inv = jax.lax.rsqrt(var + self.eps)
+        scale_eff = inv * scale.astype(jnp.float32)
+        shift_eff = bias.astype(jnp.float32) - mean * scale_eff
         if return_coefficients:
-            # Effective per-channel affine for a fused normalize kernel:
+            # Effective per-channel affine for a fused normalize kernel
+            # ([features]-shaped even when group_fold > 1):
             # y = x * scale_eff + shift_eff  ==  (x - mean)*inv*scale + bias
             # (same stats/running-update math as the normalizing path).
-            scale_eff = inv * scale.astype(jnp.float32)
-            shift_eff = (
-                bias.astype(jnp.float32) - mean * scale_eff
-            )
             return scale_eff, shift_eff
-        y = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(
-            jnp.float32
-        )
+        if g > 1:
+            scale_eff = jnp.tile(scale_eff, g)
+            shift_eff = jnp.tile(shift_eff, g)
+        y = xf * scale_eff + shift_eff
         return y.astype(self.dtype or x.dtype)

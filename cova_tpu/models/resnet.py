@@ -52,6 +52,38 @@ class Conv3x3(nn.Module):
         return conv3x3_auto(x.astype(self.dtype or x.dtype), kernel)
 
 
+class PackedConv3x3(nn.Module):
+    """Stride-1 3x3 conv on a W-packed map ([B, H, W/2, 2C], see
+    ``ops/conv_packed``). The parameter keeps the LOGICAL [3, 3, C, F]
+    shape/path — checkpoints and torch ports are layout-independent; the
+    packed [3, 3, 2C, 2F] kernel is scattered from it inside the op."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xp):
+        cin = xp.shape[-1] // 2
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        from ..ops.conv_packed import packed_conv3x3
+
+        return packed_conv3x3(xp.astype(self.dtype or xp.dtype), kernel)
+
+
+def use_packed_w() -> bool:
+    """Run the 64-channel stage W-packed ([B, H, W/2, 128]: exact lane
+    tiles, ~145 vs ~67 TFLOP/s convs — scripts/bench_packed_layout.py).
+    ``COVA_PACKED_W=0`` restores the unpacked layout."""
+    import os
+
+    return os.environ.get("COVA_PACKED_W", "1") != "0"
+
+
 class StemConv(nn.Module):
     """7x7/2 RGB conv through the MXU-shaped space-to-depth formulation
     (``ops/conv_stem.py``). Parameter path/shape (``kernel`` [7, 7, 3, F])
@@ -106,13 +138,20 @@ class BatchNorm(nn.Module):
     """
 
     dtype: Any = None
+    # See MaskedBatchNorm.group_fold: the input carries group_fold channel
+    # groups (s2d parities / W-packing); params and stats stay at the
+    # logical channel count, so tree paths are layout-independent.
+    group_fold: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool, return_coefficients: bool = False):
         from .layers import MaskedBatchNorm
 
         return MaskedBatchNorm(
-            features=x.shape[-1], dtype=self.dtype, name="BatchNorm_0"
+            features=x.shape[-1] // self.group_fold,
+            dtype=self.dtype,
+            group_fold=self.group_fold,
+            name="BatchNorm_0",
         )(
             x,
             None,
@@ -125,9 +164,24 @@ class BasicBlock(nn.Module):
     filters: int
     strides: Tuple[int, int] = (1, 1)
     dtype: Any = None
+    # packed=True: x is W-packed [B, H, W/2, 2*filters] (stride 1 only);
+    # conv params and BN stats keep their logical shapes/paths, so the two
+    # layouts are checkpoint-interchangeable.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.packed:
+            assert self.strides == (1, 1), "packed blocks are stride-1"
+            residual = x
+            y = PackedConv3x3(self.filters, dtype=self.dtype,
+                              name="Conv_0")(x)
+            y = BatchNorm(self.dtype, group_fold=2)(y, train)
+            y = nn.relu(y)
+            y = PackedConv3x3(self.filters, dtype=self.dtype,
+                              name="Conv_1")(y)
+            y = BatchNorm(self.dtype, group_fold=2)(y, train)
+            return nn.relu(y + residual)
         residual = x
         if self.strides == (1, 1):
             y = Conv3x3(self.filters, dtype=self.dtype, name="Conv_0")(x)
@@ -212,26 +266,28 @@ class ResNetBackbone(nn.Module):
             ys = StemConv(
                 64, dtype=self.dtype, s2d_output=True, name="Conv_0"
             )(x)  # [B, U, V, 4*64]
-            b, u, v, c4 = ys.shape
-            grouped = ys.reshape(b, u, v * 4, 64)
             from ..ops.bn_pool import (
                 bn_relu_pool_s2d,
                 bn_relu_pool_supported,
                 use_fused_pool,
             )
 
+            # BN statistics fold the four s2d(2) parity groups directly on
+            # the 256-channel map (group_fold=4) — identical math to
+            # BatchNorm2d over the H/2 layout, but every reduction pass
+            # runs on full 128-lane tiles instead of the 64->128-padded
+            # grouped view (2x less HBM traffic for stats fwd+bwd).
             if use_fused_pool() and bn_relu_pool_supported(ys.shape):
                 # One Pallas pass for normalize+relu+pool (ops/bn_pool.py);
                 # stats/running updates stay in the BN module (cheap, fuse
                 # into the conv). Same values as the unfused path below.
-                scale_eff, shift_eff = BatchNorm(self.dtype)(
-                    grouped, train, return_coefficients=True
+                scale_eff, shift_eff = BatchNorm(self.dtype, group_fold=4)(
+                    ys, train, return_coefficients=True
                 )
                 x = bn_relu_pool_s2d(ys, scale_eff, shift_eff)
             else:
-                grouped = BatchNorm(self.dtype)(grouped, train)
-                grouped = nn.relu(grouped)
-                x = stem_pool_s2d(grouped.reshape(b, u, v, c4))
+                normed = BatchNorm(self.dtype, group_fold=4)(ys, train)
+                x = stem_pool_s2d(nn.relu(normed))
         else:
             x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
             x = BatchNorm(self.dtype)(x, train)
@@ -241,11 +297,28 @@ class ResNetBackbone(nn.Module):
             )
         for stage in range(self.n_stages):
             filters = 64 * (2**stage)
+            # The 64-channel stage runs W-packed ([B, H, W/2, 128]: exact
+            # lane tiles — see ops/conv_packed); deeper stages have C >=
+            # 128 and gain nothing. Param/stat trees are identical either
+            # way, so checkpoints are layout-interchangeable.
+            pack = (
+                stage == 0
+                and self.block_cls is BasicBlock
+                and use_packed_w()
+                and x.shape[2] % 2 == 0
+            )
+            if pack:
+                from ..ops.conv_packed import pack_w, unpack_w
+
+                x = pack_w(x)
             for block in range(self.stage_sizes[stage]):
                 strides = (2, 2) if stage > 0 and block == 0 else (1, 1)
+                kwargs = {"packed": True} if pack else {}
                 x = self.block_cls(
-                    filters, strides=strides, dtype=self.dtype
+                    filters, strides=strides, dtype=self.dtype, **kwargs
                 )(x, train)
+            if pack:
+                x = unpack_w(x)
         return x
 
 
