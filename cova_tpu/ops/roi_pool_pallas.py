@@ -216,6 +216,10 @@ def _bwd_kernel(
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
     neg = jnp.asarray(-jnp.inf, jnp.float32)
+    # Outside-bin lanes carry +inf in the pre-masked pooled rows: a -inf
+    # edge-masked slab row can never equal it, and neither can any finite
+    # feature value, so the single equality below is exact.
+    big = jnp.asarray(jnp.inf, jnp.float32)
 
     def per_box(p, carry):
         base = p * stride
@@ -252,6 +256,19 @@ def _bwd_kernel(
 
             def per_window(wnd, _w):
                 x0 = pl.multiple_of(wnd * 128, 128)
+                # Column masks are chunk-invariant: pre-mask each bin's
+                # pooled row to its columns once per window (lanes outside
+                # the bin get +big, which the equality can never hit), so
+                # the chunk loop runs ONE compare+select per (bin-row,
+                # bin-col) instead of mask+select+compare+select.
+                pgm = []
+                for i in range(out_h):
+                    row = []
+                    for j in range(out_w):
+                        xm = (col_x + x0 >= xlo[j]) & (col_x + x0 < xhi[j])
+                        pooled_b, g_b = pg[i * out_w + j]
+                        row.append((jnp.where(xm, pooled_b, big), g_b))
+                    pgm.append(row)
 
                 def chunk_body(c, _c):
                     y0 = c * _CHUNK
@@ -260,34 +277,42 @@ def _bwd_kernel(
                     ].astype(jnp.float32)  # [_CHUNK, cb, 128]
                     # Guard each bin-row's select block on chunk/bin
                     # intersection: interior chunks of a tall bin run one
-                    # 3-select body instead of all nine — the dominant
-                    # saving for large boxes, whose bins span many chunks.
+                    # body instead of all nine — the dominant saving for
+                    # large boxes, whose bins span many chunks. Fully-
+                    # interior chunks (all _CHUNK rows inside the bin) skip
+                    # the row masking entirely.
                     for i in range(out_h):
-                        hit = (y0 < yhi[i]) & (y0 + _CHUNK > ylo[i])
+                        inside = (y0 >= ylo[i]) & (y0 + _CHUNK <= yhi[i])
+                        edge = (
+                            (y0 < yhi[i]) & (y0 + _CHUNK > ylo[i])
+                            & jnp.logical_not(inside)
+                        )
 
-                        @pl.when(hit)
-                        def _(i=i):
-                            ym = (row_y + y0 >= ylo[i]) & (
-                                row_y + y0 < yhi[i]
-                            )
-                            slab_rows = jnp.where(ym, slab, neg)
+                        def accum(rows, i=i):
                             add = jnp.zeros(
                                 (_CHUNK, cb, 128), jnp.float32
                             )
                             for j in range(out_w):
-                                xm = (col_x + x0 >= xlo[j]) & (
-                                    col_x + x0 < xhi[j]
-                                )
-                                pooled_b, g_b = pg[i * out_w + j]
-                                slab_m = jnp.where(xm, slab_rows, neg)
+                                pooled_m, g_b = pgm[i][j]
                                 add = add + jnp.where(
-                                    slab_m == pooled_b, g_b, 0.0
+                                    rows == pooled_m, g_b, 0.0
                                 )
                             cur = dfm_ref[0, 0, pl.ds(y0, _CHUNK), :,
                                           pl.ds(x0, 128)]
                             dfm_ref[
                                 0, 0, pl.ds(y0, _CHUNK), :, pl.ds(x0, 128)
                             ] = cur + add.astype(dfm_ref.dtype)
+
+                        @pl.when(inside)
+                        def _(i=i):
+                            accum(slab, i)
+
+                        @pl.when(edge)
+                        def _(i=i):
+                            ym = (row_y + y0 >= ylo[i]) & (
+                                row_y + y0 < yhi[i]
+                            )
+                            accum(jnp.where(ym, slab, neg), i)
 
                     return _c
 
