@@ -84,6 +84,14 @@ class Config:
     num_devices: int = 1  # data-parallel mesh size
     model_parallel: int = 1  # optional tensor-parallel axis for wide heads
 
+    # ---- padding buckets ----
+    # Train batches slice the box dim to the smallest bucket that holds
+    # the batch's max valid-box count (real data: mean 93 / max 230 boxes
+    # per page, splits/bbox_stats.txt) — one compiled step per bucket,
+    # proportionally less box-dim work. () disables. Single-process only
+    # (per-host buckets would diverge on a pod and deadlock collectives).
+    box_buckets: tuple = (64, 128, 192)
+
     # ---- fold protocol ----
     cv_fold: int = 1  # 1..5, or -1 = use split_dir files directly
 

@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..data.batching import pad_batch
+from ..data.batching import bucket_batch, pad_batch
 from ..data.device_prefetch import device_prefetch
 from ..ops.vmem_fallback import with_vmem_fallback
 from ..utils.checkpoint import (
@@ -215,10 +215,18 @@ def fit(
         start = time.time()
         step_metrics = []
         # Pad to the pipeline's LOCAL batch size (== cfg.batch_size single-
-        # host; cfg.batch_size / process_count per host on a pod).
+        # host; cfg.batch_size / process_count per host on a pod). Then
+        # slice the box dim to the batch's padding bucket (single-process
+        # only: per-host buckets would diverge across a pod's stripes and
+        # deadlock the collectives).
         local_bs = train_pipeline.batch_size
+        buckets = (
+            tuple(cfg.box_buckets)
+            if jax.process_count() == 1
+            else ()
+        )
         padded = (
-            (ids, pad_batch(b, local_bs)[0])
+            (ids, bucket_batch(pad_batch(b, local_bs)[0], buckets))
             for ids, b in train_pipeline.epoch(epoch=epoch)
         )
         for _, batch in device_prefetch(padded, size=2,
