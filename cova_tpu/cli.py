@@ -139,7 +139,18 @@ def _load_datasets(cfg: Config, args):
             ds.img_h = base.img_h
             return ds
 
-        return (*[subset(s) for s in splits], None, None)
+        # Synthesize a page->domain mapping (10 round-robin domains) so the
+        # synthetic path exercises the full domainwise/macro reporting the
+        # reference computes from webpage_info.csv (evaluate.py:48-78) —
+        # without it, sweep artifacts would report macro accuracies of 0.
+        import numpy as np
+
+        domains = np.array([f"synth{i % 10:02d}.com" for i in range(n)])
+        webpage_info = np.stack(
+            [np.array(base.ids), domains], axis=1
+        )
+        test_domains = np.unique(domains[np.array(splits[2], np.int32)])
+        return (*[subset(s) for s in splits], webpage_info, test_domains)
 
     train_ids, val_ids, test_ids, webpage_info, test_domains = load_fold_ids(
         cfg.fold_dir
