@@ -80,6 +80,14 @@ def pad_batch(batch: Batch, target_b: int) -> tuple[Batch, np.ndarray]:
     real pages contribute natural image statistics; their boxes stay fully
     masked out, so loss, metrics, and the box-level masked BNs are
     unaffected.
+
+    The residual deviation (duplicated pages get extra weight in the
+    image-BN *batch* statistics vs the reference's smaller ragged batch)
+    is measured, worst case b=3 -> B=8 at 256px
+    (``scripts/measure_partial_batch.py``): loss rel delta 6.1e-4, grad
+    cosine 0.9949, BN running-stat shift <= 2.1% for that single step —
+    and only the last train batch of an epoch can be partial, so the
+    EMA-averaged effect over an epoch is smaller still.
     """
     b = batch.batch_size
     if b == target_b:
