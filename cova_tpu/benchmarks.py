@@ -31,7 +31,7 @@ def run_train_bench(
     import jax
 
     from .config import Config
-    from .data.batching import collate
+    from .data.batching import bucket_batch, collate
     from .data.records import pad_page
     from .data.synthetic import synth_image, synth_record
     from .models.cova import build_model
@@ -51,7 +51,14 @@ def run_train_bench(
                            max_boxes=min(120, cfg.max_boxes))
         imgs.append(synth_image(rec, img_height, rng))
         pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size))
-    batch = jax.device_put(collate(imgs, pages))
+    # The trainer slices this box mix (60-120/page, matching the real
+    # data's mean 93) to its padding bucket before dispatch — measure the
+    # step the product actually runs. The torch-CPU anchor is ragged
+    # (zero padding), so bucketing moves the comparison closer to like-
+    # for-like, not further.
+    batch = jax.device_put(
+        bucket_batch(collate(imgs, pages), cfg.box_buckets)
+    )
 
     state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
     rng_step = jax.random.PRNGKey(1)
@@ -135,7 +142,7 @@ def run_e2e_bench(
     import jax
 
     from .config import Config
-    from .data.batching import pad_batch
+    from .data.batching import bucket_batch, pad_batch
     from .data.device_prefetch import device_prefetch
     from .data.pipeline import DataPipeline
     from .data.synthetic import InMemoryWebDataset
@@ -168,8 +175,11 @@ def run_e2e_bench(
     rng = jax.random.PRNGKey(1)
 
     def one_epoch(state, rng, epoch):
+        # Mirror the trainer's dispatch exactly: pad to the static batch,
+        # then slice the box dim to the padding bucket.
         padded = (
-            (ids, pad_batch(b, batch_size)[0])
+            (ids, bucket_batch(pad_batch(b, batch_size)[0],
+                               cfg.box_buckets))
             for ids, b in pipe.epoch(epoch=epoch)
         )
         m = None
