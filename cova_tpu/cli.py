@@ -360,12 +360,39 @@ def cmd_visualize(args) -> int:
     out_dir = os.path.join(
         cfg.results_dir, f"Fold-{cfg.cv_fold} attention visualization"
     )
-    data_dir = cfg.data_dir if not args.synthetic else None
-    extract_attention(
-        state, test_p, data_dir, out_dir,
-        visualize=not args.no_render and data_dir is not None,
-        max_pages=args.max_pages,
-    )
+    data_dir = cfg.data_dir
+    tmp_imgs = None
+    if args.synthetic:
+        if args.no_render:
+            data_dir = None
+        else:
+            # Overlay rendering reads imgs/<id>.png from disk
+            # (visualize_bbox, matching the reference's layout); synthetic
+            # pages live in memory, so write the needed test images out to
+            # a temp dir first. Eval pipelines don't shuffle, so the first
+            # max_pages dataset ids are exactly the pages extracted.
+            import tempfile
+
+            from PIL import Image
+
+            tmp_imgs = tempfile.TemporaryDirectory()
+            img_dir = os.path.join(tmp_imgs.name, "imgs")
+            os.makedirs(img_dir)
+            n = args.max_pages or len(test_ds.ids)
+            for idx, pid in enumerate(test_ds.ids[:n]):
+                Image.fromarray(test_ds.image(idx)).save(
+                    os.path.join(img_dir, f"{pid}.png")
+                )
+            data_dir = tmp_imgs.name
+    try:
+        extract_attention(
+            state, test_p, data_dir, out_dir,
+            visualize=not args.no_render and data_dir is not None,
+            max_pages=args.max_pages,
+        )
+    finally:
+        if tmp_imgs is not None:
+            tmp_imgs.cleanup()
     return 0
 
 

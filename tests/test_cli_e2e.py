@@ -96,6 +96,24 @@ def test_visualize_from_checkpoint(trained):
     np.testing.assert_allclose(attn.sum(1), 1.0, atol=2e-3)
 
 
+def test_visualize_renders_synthetic_overlays(trained):
+    """Without --no_render, synthetic test images are materialized to a
+    temp dir and the matplotlib overlay PNGs are produced (C21)."""
+    rc = main([
+        "visualize", "--synthetic", "16", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
+        "--compute_dtype", "float32", "--output_dir", trained,
+        "-nw", "2", "--max_pages", "1",
+    ])
+    assert rc in (0, None)
+    rd = _results_dir(trained)
+    vis = os.path.join(rd, "Fold-1 attention visualization")
+    pngs = [f for f in os.listdir(vis) if f.endswith(".png")]
+    # one PNG per non-BG class present on the page
+    assert pngs, "no overlay PNGs rendered"
+    assert all("_attn_" in f for f in pngs)
+
+
 def test_eval_standalone(trained, tmp_path, monkeypatch):
     """`cova eval` rebuilds the model, restores the best checkpoint, and
     writes its artifacts to the CWD (reference evaluate.py:175-183)."""
