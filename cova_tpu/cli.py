@@ -305,6 +305,7 @@ def cmd_train(args) -> int:
     class_acc, macro_acc = evaluate(
         state, test_p, cfg.n_classes, CLASS_NAMES, log_file, imgwise,
         webpage_info, test_domains, domainwise,
+        box_buckets=cfg.box_buckets,
     )
     append_fold_row(
         os.path.join(cfg.results_dir, "fold_wise_acc.csv"),
@@ -342,6 +343,7 @@ def cmd_eval(args) -> int:
         webpage_info, test_domains,
         f"Fold-{cfg.cv_fold} test_acc_domainwise.csv",
         k=getattr(args, "top_k", 1),
+        box_buckets=cfg.box_buckets,
     )
     print("Class acc:", class_acc[1:], "Macro acc:", macro_acc[1:])
     return 0

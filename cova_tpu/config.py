@@ -85,11 +85,14 @@ class Config:
     model_parallel: int = 1  # optional tensor-parallel axis for wide heads
 
     # ---- padding buckets ----
-    # Train batches slice the box dim to the smallest bucket that holds
-    # the batch's max valid-box count (real data: mean 93 / max 230 boxes
-    # per page, splits/bbox_stats.txt) — one compiled step per bucket,
-    # proportionally less box-dim work. () disables. Single-process only
-    # (per-host buckets would diverge on a pod and deadlock collectives).
+    # Train/eval batches slice the box dim to the smallest bucket that
+    # holds the batch's max valid-box count (real data: mean 93 / max 230
+    # boxes per page, splits/bbox_stats.txt) — one compiled step per
+    # bucket, proportionally less box-dim work. () disables. The TRAIN
+    # path only buckets single-process (per-host buckets would diverge on
+    # a pod's input stripes and deadlock collectives); eval buckets
+    # everywhere, since every host reads the full deterministic eval
+    # split and so agrees on the bucket.
     box_buckets: tuple = (64, 128, 192)
 
     # ---- fold protocol ----

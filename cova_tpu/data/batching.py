@@ -109,6 +109,28 @@ def pad_batch(batch: Batch, target_b: int) -> tuple[Batch, np.ndarray]:
     return padded, page_mask
 
 
+def _bucket_target(max_valid: int, p_full: int,
+                   buckets: Sequence[int]) -> int:
+    for p in sorted(buckets):
+        if p >= max_valid:
+            return min(p, p_full)
+    return p_full
+
+
+def _slice_boxes(batch: Batch, target: int) -> Batch:
+    return batch._replace(
+        boxes=batch.boxes[:, :target],
+        labels=batch.labels[:, :target],
+        box_mask=batch.box_mask[:, :target],
+        context_indices=batch.context_indices[:, :target],
+        additional_feats=batch.additional_feats[:, :target],
+    )
+
+
+def _max_valid(batch: Batch) -> int:
+    return int(batch.box_mask.sum(axis=1).max()) if batch.box_mask.size else 0
+
+
 def bucket_batch(batch: Batch, buckets: Sequence[int]) -> Batch:
     """Slice the box dim down to the smallest bucket holding every page's
     valid boxes (valid rows are front-packed by ``records.pad_page``).
@@ -122,21 +144,26 @@ def bucket_batch(batch: Batch, buckets: Sequence[int]) -> Batch:
     valid count <= the bucket.
     """
     p_full = batch.boxes.shape[1]
-    mx = int(batch.box_mask.sum(axis=1).max()) if batch.box_mask.size else 0
-    target = p_full
-    for p in sorted(buckets):
-        if p >= mx:
-            target = min(p, p_full)
-            break
+    target = _bucket_target(_max_valid(batch), p_full, buckets) \
+        if buckets else p_full
     if target >= p_full:
         return batch
-    return batch._replace(
-        boxes=batch.boxes[:, :target],
-        labels=batch.labels[:, :target],
-        box_mask=batch.box_mask[:, :target],
-        context_indices=batch.context_indices[:, :target],
-        additional_feats=batch.additional_feats[:, :target],
-    )
+    return _slice_boxes(batch, target)
+
+
+def bucket_batches(batches: Sequence[Batch],
+                   buckets: Sequence[int]) -> List[Batch]:
+    """Bucket a GROUP of batches to one common box dim (the largest any
+    member needs) — used by the chunked eval path, where a whole chunk is
+    stacked into one jitted dispatch and must share a static shape."""
+    batches = list(batches)
+    if not buckets or not batches:
+        return batches
+    p_full = batches[0].boxes.shape[1]
+    target = _bucket_target(max(map(_max_valid, batches)), p_full, buckets)
+    if target >= p_full:
+        return batches
+    return [_slice_boxes(b, target) for b in batches]
 
 
 def page_ids_of(pages: Sequence[PaddedPage]) -> List[str]:

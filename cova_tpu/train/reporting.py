@@ -32,6 +32,7 @@ def evaluate(
     test_domains: Optional[np.ndarray] = None,
     test_acc_domainwise_file: Optional[str] = None,
     k: int = 1,
+    box_buckets=(),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (class_acc_test, macro_acc_test), each [n_classes] in %."""
     print(
@@ -39,7 +40,8 @@ def evaluate(
         "accuracies on test data..."
     )
     img_acc, class_acc_test = run_eval(
-        state, test_pipeline, n_classes, class_names, "TEST", log_file, k=k
+        state, test_pipeline, n_classes, class_names, "TEST", log_file, k=k,
+        box_buckets=tuple(box_buckets),
     )
 
     if _is_primary():  # every host computes; process 0 owns the artifacts

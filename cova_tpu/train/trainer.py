@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..data.batching import bucket_batch, pad_batch
+from ..data.batching import bucket_batch, bucket_batches, pad_batch
 from ..data.device_prefetch import device_prefetch
 from ..ops.vmem_fallback import with_vmem_fallback
 from ..utils.checkpoint import (
@@ -43,6 +43,7 @@ def run_eval(
     log_file: Optional[str] = None,
     k: int = 1,
     sharding=None,
+    box_buckets: Tuple[int, ...] = (),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Evaluate one split. Returns (img_acc [n_imgs, n_classes] int32 with
     img_id in column 0, class_acc [n_classes] percentages) — the reference
@@ -78,7 +79,13 @@ def run_eval(
     def flush(buf):
         if not buf:
             return
-        group = [batch for _, _, batch in buf]
+        # Slice the chunk's box dim to its padding bucket (one static
+        # shape per chunk; semantics-preserving — sliced rows are masked
+        # padding). Safe under multi-process too: every host reads the
+        # full deterministic eval split, so the bucket choice agrees.
+        group = bucket_batches(
+            [batch for _, _, batch in buf], box_buckets
+        )
         while len(group) < chunk:  # pad to the static chunk shape
             group.append(group[-1])
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
@@ -276,6 +283,7 @@ def fit(
             _, class_acc = run_eval(
                 state, val_pipeline, cfg.n_classes, class_names, "VAL",
                 log_file, sharding=val_sharding,
+                box_buckets=tuple(cfg.box_buckets),
             )
             eval_acc = float(class_acc[1:].mean())
             metrics.log("val", epoch=epoch, avg_class_acc=eval_acc)

@@ -46,6 +46,54 @@ def test_bucket_selection():
     assert bucket_batch(b, ()).boxes.shape[1] == 232  # disabled
 
 
+def test_bucketed_eval_is_exact(tiny_cfg, monkeypatch):
+    """run_eval with box buckets returns identical img_acc/class_acc to
+    the full-pad eval (sliced rows are masked padding)."""
+    from cova_tpu.data.pipeline import DataPipeline
+    from cova_tpu.data.synthetic import InMemoryWebDataset
+    from cova_tpu.train.trainer import run_eval
+
+    cfg = tiny_cfg
+    ds = InMemoryWebDataset(7, cfg.img_height, seed=5, min_boxes=8,
+                            max_boxes=14)
+    pipe = DataPipeline(ds, batch_size=2, pad_boxes=cfg.pad_boxes,
+                        context_size=cfg.context_size, shuffle=False,
+                        num_threads=2)
+    model = build_model(cfg)
+    _, ex = next(iter(pipe.epoch(0)))
+    state = create_train_state(model, cfg, ex, jax.random.PRNGKey(0))
+    monkeypatch.setenv("COVA_EVAL_CHUNK", "2")
+
+    names = ("BG", "Price", "Title", "Image")
+    img_full, cls_full = run_eval(state, pipe, cfg.n_classes, names)
+    img_b, cls_b = run_eval(state, pipe, cfg.n_classes, names,
+                            box_buckets=(16,))
+    np.testing.assert_array_equal(img_b, img_full)
+    np.testing.assert_array_equal(cls_b, cls_full)
+
+
+def test_bucket_batches_common_target():
+    from cova_tpu.data.batching import bucket_batches
+
+    def mk(n_valid):
+        b = Batch(
+            images=np.zeros((1, 4, 4, 3), np.uint8),
+            boxes=np.zeros((1, 232, 4), np.float32),
+            labels=np.zeros((1, 232), np.int32),
+            box_mask=np.zeros((1, 232), bool),
+            context_indices=np.zeros((1, 232, 4), np.int32),
+            additional_feats=np.zeros((1, 232, 0), np.float32),
+        )
+        b.box_mask[0, :n_valid] = True
+        return b
+
+    group = bucket_batches([mk(30), mk(100)], (64, 128, 192))
+    assert all(b.boxes.shape[1] == 128 for b in group)  # group max governs
+    group = bucket_batches([mk(30), mk(220)], (64, 128, 192))
+    assert all(b.boxes.shape[1] == 232 for b in group)
+    assert bucket_batches([], (64,)) == []
+
+
 def test_bucketed_step_is_exact():
     """Same params, same rng: the bucketed batch produces the identical
     loss and updated params as the full-pad batch."""
