@@ -231,7 +231,7 @@ def run_infer_bench(
     import jax.numpy as jnp
 
     from .config import Config
-    from .data.batching import collate
+    from .data.batching import bucket_batch, collate
     from .data.records import pad_page
     from .data.synthetic import synth_image, synth_record
     from .models.cova import build_model
@@ -250,7 +250,11 @@ def run_infer_bench(
                            max_boxes=min(120, cfg.max_boxes))
         imgs.append(synth_image(rec, img_height, rng))
         pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size))
-    batch = jax.device_put(collate(imgs, pages))
+    # The product eval path buckets the box dim (run_eval) — serve the
+    # same shapes it dispatches.
+    batch = jax.device_put(
+        bucket_batch(collate(imgs, pages), cfg.box_buckets)
+    )
     state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
 
     @jax.jit
