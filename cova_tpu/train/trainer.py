@@ -34,6 +34,30 @@ from ..utils.logging import MetricsLogger, print_and_log
 from .steps import TrainState, eval_chunk_step, train_step
 
 
+def default_eval_chunk() -> int:
+    """Backend-aware default for ``COVA_EVAL_CHUNK`` (measured, VERDICT r2
+    item 9 / ``scripts/measure_eval_chunk.py``).
+
+    Chunking G eval batches per jitted dispatch trades dispatch round-trips
+    (expensive through the remote-TPU tunnel) for host-side restacking of G
+    whole uint8 batches (pure overhead where dispatch is cheap). Measured
+    full-epoch wall-clock, 40 synthetic pages:
+
+      * CPU backend (local, cheap dispatch), 320px: chunk=1 15.3 s vs
+        chunk=8 27.7 s — chunking LOSES 1.8x; and every np.stack copy is
+        pure overhead.
+      * TPU via the axon tunnel, 1280px flagship: chunk=8 wins (round-2
+        measurement: dispatch count cut ~8x dominated; re-measured this
+        round — see ARCHITECTURE.md).
+
+    So: 8 on TPU backends, 1 on CPU. ``COVA_EVAL_CHUNK`` overrides.
+    """
+    env = os.environ.get("COVA_EVAL_CHUNK")
+    if env is not None:
+        return max(1, int(env))
+    return 8 if jax.default_backend() != "cpu" else 1
+
+
 def run_eval(
     state: TrainState,
     pipeline,
@@ -56,15 +80,16 @@ def run_eval(
     ``sharding``: optional placement for eval batches when the state lives
     on a mesh (see ``parallel.mesh.eval_batch_sharding``).
 
-    The epoch runs in CHUNKS of ``COVA_EVAL_CHUNK`` (default 8) batches per
-    jitted dispatch (``eval_chunk_step``): the reference dispatches one
-    kernel launch per 10-page batch (``train.py:115-129``); here the
-    per-dispatch round-trip amortizes over the chunk, and correctness
-    fetches happen once at the end of the epoch.
+    The epoch runs in CHUNKS of ``COVA_EVAL_CHUNK`` batches per jitted
+    dispatch (``eval_chunk_step``): the reference dispatches one kernel
+    launch per 10-page batch (``train.py:115-129``); here the per-dispatch
+    round-trip amortizes over the chunk, and correctness fetches happen
+    once at the end of the epoch. The default is backend-aware
+    (``default_eval_chunk``: 8 on TPU, 1 on CPU — measured both ways).
     """
     start = time.time()
     eval_bs = pipeline.batch_size
-    chunk = max(1, int(os.environ.get("COVA_EVAL_CHUNK", "8")))
+    chunk = default_eval_chunk()
     rows: List[List[int]] = []
     pending = []  # ([(ids, b)], device correctness [G,B,C-1]) — fetch lazily
     chunk_sharding = None

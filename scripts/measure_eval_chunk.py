@@ -56,13 +56,16 @@ def main():
     for chunk in (1, 8):
         os.environ["COVA_EVAL_CHUNK"] = str(chunk)
         # warmup compile
+        buckets = tuple(cfg.box_buckets)  # what the product dispatches
         trainer_mod.run_eval(state, va, cfg.n_classes,
-                             ("BG", "Price", "Title", "Image"), "WARM")
+                             ("BG", "Price", "Title", "Image"), "WARM",
+                             box_buckets=buckets)
         times = []
         for _ in range(args.reps):
             t0 = time.time()
             trainer_mod.run_eval(state, va, cfg.n_classes,
-                                 ("BG", "Price", "Title", "Image"), "MEAS")
+                                 ("BG", "Price", "Title", "Image"), "MEAS",
+                                 box_buckets=buckets)
             times.append(time.time() - t0)
         results[f"chunk{chunk}_s"] = round(min(times), 3)
 
