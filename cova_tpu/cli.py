@@ -67,6 +67,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", type=int, default=0, metavar="N_PAGES",
                    help="use N synthetic pages instead of data_dir "
                         "(smoke runs without the external dataset)")
+    p.add_argument("--decode_cache", default="", metavar="DIR",
+                   help="decoded-screenshot disk cache: inflate each PNG "
+                        "once, later epochs/runs memcpy from the OS page "
+                        "cache (~4.9 MB/page at 1280^2; COVA_DECODE_CACHE "
+                        "also enables it)")
 
 
 def _cfg_from_args(args) -> Config:
@@ -95,6 +100,7 @@ def _cfg_from_args(args) -> Config:
         cv_fold=args.cv_fold,
         num_devices=args.num_devices,
         model_parallel=args.model_parallel,
+        decode_cache=args.decode_cache,
     )
 
 
@@ -161,7 +167,8 @@ def _load_datasets(cfg: Config, args):
 
     native_loader.ensure_built()
     mk = lambda ids: WebDataset(  # noqa: E731
-        cfg.data_dir, ids, cfg.use_additional_feat, img_size=cfg.img_height
+        cfg.data_dir, ids, cfg.use_additional_feat, img_size=cfg.img_height,
+        decode_cache_dir=cfg.decode_cache or None,
     )
     return mk(train_ids), mk(val_ids), mk(test_ids), webpage_info, test_domains
 

@@ -56,6 +56,10 @@ class Config:
     sampling_fraction: float = 0.9  # train-time BG subsampling (utils.py:28)
     num_workers: int = 5  # host decode thread pool (utils.py:29)
     max_boxes: int = DATASET_MAX_BOXES  # ragged bound; padded below
+    # Decoded-screenshot disk cache dir ("" = off; see data/decode_cache.py:
+    # inflate each PNG once, later epochs memcpy from the OS page cache).
+    # Not a hyperparameter — never part of params_key.
+    decode_cache: str = ""
 
     # ---- model ----
     n_classes: int = N_CLASSES

@@ -44,11 +44,21 @@ class WebDataset:
         use_additional_feats: bool = False,
         img_size: Optional[int] = None,
         use_native: bool = True,
+        decode_cache_dir: Optional[str] = None,
     ):
         self.root = root
         self.ids: List[str] = [str(i) for i in page_ids]
         self.img_size = img_size
         self.use_native = use_native and native_loader.available()
+        # Opt-in decoded-screenshot cache (decode_cache.py): explicit dir or
+        # COVA_DECODE_CACHE. The pipeline's batch decode path builds its own
+        # layout-tagged handle from the same dir (decode_cache()).
+        self.decode_cache_dir = decode_cache_dir or os.environ.get(
+            "COVA_DECODE_CACHE"
+        )
+        self._raw_cache = self.decode_cache(
+            f"raw-{img_size if img_size is not None else 0}"
+        )
         self.img_paths = [
             os.path.join(root, "imgs", f"{i}.png") for i in self.ids
         ]
@@ -87,14 +97,33 @@ class WebDataset:
             additional_feats=self.all_additional[index],
         )
 
+    def decode_cache(self, tag: str):
+        """A layout-tagged DecodeCache over this dataset's cache dir, or
+        None when caching is off."""
+        from .decode_cache import DecodeCache
+
+        if not self.decode_cache_dir:
+            return None
+        return DecodeCache(self.decode_cache_dir, tag)
+
     def image(self, index: int) -> np.ndarray:
-        """Decode the screenshot to uint8 [H, W, 3]."""
+        """Decode the screenshot to uint8 [H, W, 3] (cached if enabled)."""
+        if self._raw_cache is not None:
+            hit = self._raw_cache.get(
+                self.ids[index], self.img_paths[index]
+            )
+            if hit is not None:
+                return np.asarray(hit)
         if self.use_native and self.img_size is not None:
-            return native_loader.decode_png(
+            arr = native_loader.decode_png(
                 self.img_paths[index], self.img_size, self.img_size
             )
-        with Image.open(self.img_paths[index]) as im:
-            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        else:
+            with Image.open(self.img_paths[index]) as im:
+                arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        if self._raw_cache is not None:
+            self._raw_cache.put(self.ids[index], arr)
+        return arr
 
     def max_boxes(self) -> int:
         return max(int(b.shape[0]) for b in self.all_boxes)

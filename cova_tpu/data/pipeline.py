@@ -130,9 +130,57 @@ class DataPipeline:
             and hasattr(self.ds, "img_paths")
         )
 
-        def make_native_batch(idxs, pool):
+        size = self.ds.img_size if use_native_batch else None
+        s2d4 = bool(size) and size % 4 == 0
+        # Decoded-screenshot cache (decode_cache.py), tagged by the layout
+        # this path emits so raw and s2d4 entries never mix.
+        decode_cache = (
+            self.ds.decode_cache(
+                f"{'s2d4' if s2d4 else 'raw'}-{size}"
+            )
+            if use_native_batch and hasattr(self.ds, "decode_cache")
+            else None
+        )
+
+        def decode_batch(idxs):
+            """uint8 [n, ...] images for idxs — cache hits memcpy'd from
+            disk, misses decoded in ONE native pthread-pool call and then
+            persisted for every later epoch/run."""
             from . import native_loader
 
+            paths = [self.ds.img_paths[int(i)] for i in idxs]
+            if decode_cache is None:
+                return native_loader.decode_png_batch(
+                    paths, size, size, nthreads=self.num_threads, s2d4=s2d4
+                )
+            hits, miss_pos = {}, []
+            for pos, i in enumerate(idxs):
+                m = decode_cache.get(self.ds.ids[int(i)], paths[pos])
+                if m is None:
+                    miss_pos.append(pos)
+                else:
+                    hits[pos] = m
+            n = len(idxs)
+            shape = (
+                (n, size // 4, size // 4, 48) if s2d4 else (n, size, size, 3)
+            )
+            imgs = np.empty(shape, dtype=np.uint8)
+            if miss_pos:
+                dec = native_loader.decode_png_batch(
+                    [paths[p] for p in miss_pos],
+                    size,
+                    size,
+                    nthreads=self.num_threads,
+                    s2d4=s2d4,
+                )
+                for k, pos in enumerate(miss_pos):
+                    imgs[pos] = dec[k]
+                    decode_cache.put(self.ds.ids[int(idxs[pos])], dec[k])
+            for pos, m in hits.items():
+                imgs[pos] = m  # the memmap's only read: page-cache memcpy
+            return imgs
+
+        def make_native_batch(idxs, pool):
             # Page building (BG sampling, context windows, padding) runs on
             # the Python pool CONCURRENTLY with the C++ decode below:
             # Executor.map submits every task immediately, and
@@ -141,14 +189,7 @@ class DataPipeline:
             pages_iter = pool.map(
                 lambda i: self._make_page(epoch, int(i)), idxs
             )
-            size = self.ds.img_size
-            imgs = native_loader.decode_png_batch(
-                [self.ds.img_paths[int(i)] for i in idxs],
-                size,
-                size,
-                nthreads=self.num_threads,
-                s2d4=size % 4 == 0,  # emit the TPU layout from C directly
-            )
+            imgs = decode_batch(idxs)
             return collate(imgs, list(pages_iter))  # ndarray: no re-stack
 
         def producer():
