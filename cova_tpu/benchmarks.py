@@ -130,14 +130,21 @@ def run_e2e_bench(
     img_height: int = 1280,
     compute_dtype: str = "bfloat16",
     num_threads: int = 0,
+    source: str = "mem",
 ):
     """END-TO-END-FED training throughput: batches flow from the real host
-    pipeline (``DataPipeline`` over an in-memory synthetic dataset, BG
-    sampling + context build + padded collation) through ``device_prefetch``
-    into the jitted train step — the number a user's training run actually
-    sustains on this host, as opposed to ``run_train_bench``'s device-staged
-    compute-path ceiling (VERDICT r2 weak #4). Reports both next to each
-    other.
+    pipeline (``DataPipeline``, BG sampling + context build + padded
+    collation) through ``device_prefetch`` into the jitted train step — the
+    number a user's training run actually sustains on this host, as opposed
+    to ``run_train_bench``'s device-staged compute-path ceiling (VERDICT r2
+    weak #4). Reports both next to each other.
+
+    ``source``: ``mem`` feeds from an in-memory synthetic dataset (host cost
+    = page building + collate); ``disk`` materializes real PNGs/CSVs in the
+    reference layout and feeds through the native decode path WITH the
+    decoded-screenshot cache — the timed epochs are cache-warm, i.e. the
+    steady state of a real multi-epoch training run (epoch 1 is the
+    warmup/compile epoch either way).
     """
     import jax
 
@@ -155,9 +162,26 @@ def run_e2e_bench(
         compute_dtype=compute_dtype,
     )
     threads = num_threads or min(8, os.cpu_count() or 1)
-    ds = InMemoryWebDataset(
-        n_pages, img_height, seed=7, max_boxes=cfg.max_boxes
-    )
+    tmpdir = None
+    if source == "disk":
+        import tempfile
+
+        from .data.dataset import WebDataset
+        from .data.synthetic import materialize
+
+        tmpdir = tempfile.TemporaryDirectory(prefix="cova_e2e_disk_")
+        ids = materialize(
+            f"{tmpdir.name}/data", n_pages, img_height, seed=7,
+            min_boxes=11, max_boxes=cfg.max_boxes,
+        )
+        ds = WebDataset(
+            f"{tmpdir.name}/data", ids, img_size=img_height,
+            decode_cache_dir=f"{tmpdir.name}/cache",
+        )
+    else:
+        ds = InMemoryWebDataset(
+            n_pages, img_height, seed=7, max_boxes=cfg.max_boxes
+        )
     pipe = DataPipeline(
         ds,
         batch_size=batch_size,
@@ -196,6 +220,8 @@ def run_e2e_bench(
     dt = (time.time() - t0) / epochs
     e2e_pages_per_sec = n_pages / dt
 
+    if tmpdir is not None:
+        tmpdir.cleanup()
     compute = run_train_bench(
         batch_size=batch_size,
         img_height=img_height,
@@ -205,6 +231,7 @@ def run_e2e_bench(
         "metric": "e2e_train_webpages_per_sec",
         "value": round(e2e_pages_per_sec, 2),
         "unit": "pages/s",
+        "source": source,
         "epoch_seconds": round(dt, 2),
         "host_threads": threads,
         "compute_pages_per_sec": compute["value"],

@@ -427,6 +427,7 @@ def cmd_bench(args) -> int:
             batch_size=args.batch_size_bench,
             img_height=args.img_height,
             compute_dtype=args.compute_dtype,
+            source=args.e2e_source,
         )
     else:
         fn = (
@@ -495,6 +496,11 @@ def main(argv: Optional[list] = None) -> int:
                         "infer = serving forward (use -bs 1 for single-"
                         "page latency); e2e = batches fed from the host "
                         "DataPipeline (sustained throughput)")
+    b.add_argument("--e2e_source", choices=["mem", "disk"], default="mem",
+                   help="e2e feed: mem = in-memory synthetic pages; disk = "
+                        "real PNGs/CSVs through the native decode path with "
+                        "the decoded-screenshot cache (steady-state epochs "
+                        "are cache-warm)")
     b.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

@@ -4,7 +4,11 @@ serving bench backs `cova bench --mode infer`)."""
 
 import json
 
-from cova_tpu.benchmarks import run_infer_bench, run_train_bench
+from cova_tpu.benchmarks import (
+    run_e2e_bench,
+    run_infer_bench,
+    run_train_bench,
+)
 
 
 def test_train_bench_smoke():
@@ -25,5 +29,18 @@ def test_infer_bench_smoke():
         compute_dtype="float32", windows=1,
     )
     assert r["metric"] == "infer_webpages_per_sec_per_chip"
+    assert r["value"] > 0
+    json.dumps(r)
+
+
+def test_e2e_bench_disk_smoke():
+    """The disk-fed e2e mode materializes the reference on-disk layout and
+    feeds it through the native decode path + decoded-screenshot cache."""
+    r = run_e2e_bench(
+        batch_size=2, n_pages=6, epochs=1, img_height=64,
+        compute_dtype="float32", source="disk",
+    )
+    assert r["metric"] == "e2e_train_webpages_per_sec"
+    assert r["source"] == "disk"
     assert r["value"] > 0
     json.dumps(r)
