@@ -113,7 +113,12 @@ def run_eval(
         )
         while len(group) < chunk:  # pad to the static chunk shape
             group.append(group[-1])
-        stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+        if chunk == 1:
+            # x[None] is a view — chunk=1 (the CPU default) adds no host
+            # copy over dispatching the batch directly.
+            stacked = jax.tree.map(lambda x: x[None], group[0])
+        else:
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
         if chunk_sharding is not None:
             if multiprocess:
                 # Every host reads the full (deterministic) eval split, so
