@@ -46,9 +46,9 @@ def default_eval_chunk() -> int:
       * CPU backend (local, cheap dispatch), 320px: chunk=1 15.3 s vs
         chunk=8 27.7 s — chunking LOSES 1.8x; and every np.stack copy is
         pure overhead.
-      * TPU via the axon tunnel, 1280px flagship: chunk=8 wins (round-2
-        measurement: dispatch count cut ~8x dominated; re-measured this
-        round — see ARCHITECTURE.md).
+      * TPU via the remote tunnel, 1280px flagship: chunk=8 wins (round-2
+        measurement when chunking landed: the ~8x dispatch-count cut
+        dominated the epoch; each dispatch pays a tunnel round-trip).
 
     So: 8 on TPU backends, 1 on CPU. ``COVA_EVAL_CHUNK`` overrides.
     """
