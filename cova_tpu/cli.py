@@ -405,15 +405,59 @@ def cmd_visualize(args) -> int:
     return 0
 
 
+def sweep_summary(fold_wise_acc_file: str, folds) -> Optional[str]:
+    """Aggregate ``fold_wise_acc.csv`` to the published-table format: per
+    class, mean ± std over folds (the reference README's results table,
+    ``README.md:40-44``, is exactly this aggregation, done externally).
+
+    ``fold_wise_acc.csv`` appends a row per run, so re-running a fold
+    leaves stale rows — the LAST row per fold wins. Returns the summary
+    text (classwise and macro lines), or None if no requested fold has a
+    row yet.
+    """
+    import numpy as np
+
+    rows = np.loadtxt(
+        fold_wise_acc_file, delimiter=",", skiprows=1, ndmin=2
+    )
+    by_fold = {}
+    for r in rows:
+        by_fold[int(r[0])] = r  # later rows overwrite earlier ones
+    got = [by_fold[f] for f in folds if f in by_fold]
+    if not got:
+        return None
+    acc = np.stack(got)  # columns: fold,val,P,Pm,T,Tm,I,Im
+    lines = [f"folds: {[f for f in folds if f in by_fold]}"]
+    for label, cols in (("classwise", (2, 4, 6)), ("macro", (3, 5, 7))):
+        parts = [
+            "%s %.1f ± %.1f" % (name, acc[:, c].mean(), acc[:, c].std())
+            for name, c in zip(("Price", "Title", "Image"), cols)
+        ]
+        lines.append(f"{label}: " + " | ".join(parts))
+    return "\n".join(lines) + "\n"
+
+
 def cmd_sweep(args) -> int:
     """5-fold cross-validation sweep: run train once per fold
-    (the reference's `for f in 1..5: python main.py -cvf f` workflow)."""
+    (the reference's `for f in 1..5: python main.py -cvf f` workflow),
+    then aggregate to the published mean ± std table."""
     rc = 0
     for fold in args.folds:
         fold_args = argparse.Namespace(**vars(args))
         fold_args.cv_fold = fold
         print(f"\n===== Fold {fold} =====")
         rc |= cmd_train(fold_args)
+    cfg = _cfg_from_args(args)
+    path = os.path.join(cfg.results_dir, "fold_wise_acc.csv")
+    if rc == 0 and os.path.isfile(path):
+        summary = sweep_summary(path, args.folds)
+        if summary:
+            print("\n===== Sweep summary (mean ± std over folds) =====")
+            print(summary, end="")
+            with open(
+                os.path.join(cfg.results_dir, "sweep_summary.txt"), "w"
+            ) as f:
+                f.write(summary)
     return rc
 
 
