@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-3 on-chip measurement battery. Run when the TPU tunnel is up.
+# Each step appends one JSON/log line to artifacts/tpu_r3/; safe to re-run.
+set -u
+cd "$(dirname "$0")/.."
+OUT=artifacts/tpu_r3
+mkdir -p "$OUT"
+
+run() { # name cmd...
+  local name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 3000 "$@" 2>"$OUT/$name.err" | tail -5 | tee "$OUT/$name.out"
+  echo "rc=$? done $name"
+}
+
+run bench        python bench.py
+run infer_b32    python -m cova_tpu.cli bench --mode infer --batch_size_bench 32
+run infer_b1     python -m cova_tpu.cli bench --mode infer --batch_size_bench 1
+run e2e_disk     python -m cova_tpu.cli bench --mode e2e --e2e_source disk --batch_size_bench 8
+run eval_chunk   python scripts/measure_eval_chunk.py --pages 40
