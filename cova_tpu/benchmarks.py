@@ -317,10 +317,23 @@ def run_infer_bench(
         _ = float(run_steps(state.params, state.batch_stats, batch))
         best_dt = min(best_dt, (time.time() - t0) / steps)
 
+    pages_per_sec = batch_size / best_dt
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "baseline_torch_infer.json",
+    )
+    vs_baseline = None
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = round(pages_per_sec / base["value"], 1)
+
     return {
         "metric": "infer_webpages_per_sec_per_chip",
-        "value": round(batch_size / best_dt, 2),
+        "value": round(pages_per_sec, 2),
         "unit": "pages/s",
+        "vs_baseline": vs_baseline,
         "step_ms": round(best_dt * 1000, 2),
         "batch_size": batch_size,
         "img_height": img_height,

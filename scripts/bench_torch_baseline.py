@@ -125,6 +125,11 @@ def main():
     ap.add_argument("--batch", type=int, default=5)
     ap.add_argument("--boxes", type=int, default=93)
     ap.add_argument("--img", type=int, default=1280)
+    ap.add_argument("--infer", action="store_true",
+                    help="measure the forward-only serving path "
+                         "(model.eval + no_grad) instead of the train step; "
+                         "writes baseline_torch_infer.json, the anchor for "
+                         "run_infer_bench's vs_baseline")
     args = ap.parse_args()
 
     torch.manual_seed(0)
@@ -164,24 +169,36 @@ def main():
         rng.integers(0, 4, (B * N,)).astype(np.int64)
     )
 
-    # warmup
-    out = model(images, boxes, ctx)
-    loss = crit(out, labels)
-    loss.backward()
-    opt.step()
-
-    t0 = time.time()
-    for _ in range(args.steps):
-        opt.zero_grad()
+    if args.infer:
+        model.eval()
+        with torch.no_grad():
+            _ = model(images, boxes, ctx)  # warmup
+            t0 = time.time()
+            for _ in range(args.steps):
+                _ = model(images, boxes, ctx)
+        dt = (time.time() - t0) / args.steps
+    else:
+        # warmup
         out = model(images, boxes, ctx)
         loss = crit(out, labels)
         loss.backward()
         opt.step()
-    dt = (time.time() - t0) / args.steps
+
+        t0 = time.time()
+        for _ in range(args.steps):
+            opt.zero_grad()
+            out = model(images, boxes, ctx)
+            loss = crit(out, labels)
+            loss.backward()
+            opt.step()
+        dt = (time.time() - t0) / args.steps
     pages_per_sec = B / dt
 
     result = {
-        "metric": "train_webpages_per_sec",
+        "metric": (
+            "infer_webpages_per_sec" if args.infer
+            else "train_webpages_per_sec"
+        ),
         "value": pages_per_sec,
         "unit": "pages/s",
         "framework": f"torch-{torch.__version__}-cpu",
@@ -197,7 +214,7 @@ def main():
     }
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "baseline_torch.json",
+        "baseline_torch_infer.json" if args.infer else "baseline_torch.json",
     )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
