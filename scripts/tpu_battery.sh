@@ -20,6 +20,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cc}
 
 run bench        python bench.py
 run train_b8     env COVA_BENCH_BATCH=8 python bench.py
+run train_b64    env COVA_BENCH_BATCH=64 python bench.py
 run infer_b32    python -m cova_tpu.cli bench --mode infer --batch_size_bench 32
 run infer_b1     python -m cova_tpu.cli bench --mode infer --batch_size_bench 1
 run e2e_disk     python -m cova_tpu.cli bench --mode e2e --e2e_source disk --batch_size_bench 8
