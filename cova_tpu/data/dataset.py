@@ -52,12 +52,18 @@ class WebDataset:
         self.use_native = use_native and native_loader.available()
         # Opt-in decoded-screenshot cache (decode_cache.py): explicit dir or
         # COVA_DECODE_CACHE. The pipeline's batch decode path builds its own
-        # layout-tagged handle from the same dir (decode_cache()).
+        # layout-tagged handle from the same dir (decode_cache()). The raw
+        # tag mirrors what image() actually produces: the native path
+        # resizes to img_size x img_size, the PIL fallback keeps the
+        # original dimensions — distinct tags so a run without the native
+        # library can't poison a size-tagged entry.
         self.decode_cache_dir = decode_cache_dir or os.environ.get(
             "COVA_DECODE_CACHE"
         )
         self._raw_cache = self.decode_cache(
-            f"raw-{img_size if img_size is not None else 0}"
+            f"raw-{img_size}"
+            if (self.use_native and img_size is not None)
+            else "raw-orig"
         )
         self.img_paths = [
             os.path.join(root, "imgs", f"{i}.png") for i in self.ids
@@ -122,7 +128,9 @@ class WebDataset:
             with Image.open(self.img_paths[index]) as im:
                 arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
         if self._raw_cache is not None:
-            self._raw_cache.put(self.ids[index], arr)
+            self._raw_cache.put(
+                self.ids[index], arr, self.img_paths[index]
+            )
         return arr
 
     def max_boxes(self) -> int:

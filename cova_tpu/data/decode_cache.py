@@ -57,17 +57,28 @@ class DecodeCache:
             if os.path.getmtime(path) < os.path.getmtime(src_path):
                 return None  # source PNG newer than the cache entry
             return np.load(path, mmap_mode="r")
-        except (OSError, ValueError):
-            return None  # missing, unreadable, or truncated entry
+        except (OSError, ValueError, EOFError):
+            # Missing, unreadable, or corrupt/truncated entry (np.load
+            # raises EOFError on a zero-length file) -> re-decode; put()
+            # then replaces the bad entry.
+            return None
 
-    def put(self, page_id: str, arr: np.ndarray) -> None:
-        """Atomically persist one decoded page (crash/concurrency safe)."""
+    def put(self, page_id: str, arr: np.ndarray, src_path: str) -> None:
+        """Atomically persist one decoded page (crash/concurrency safe).
+
+        The entry's mtime is copied from the source (make-style, entry ==
+        source passes the >= staleness check), so a source stamped by a
+        clock-ahead host on a shared FS can't leave the entry perpetually
+        "stale" and silently disable the cache.
+        """
         fd, tmp = tempfile.mkstemp(
             dir=self.dir, suffix=f".{self.tag}.tmp"
         )
         try:
             with os.fdopen(fd, "wb") as f:
                 np.save(f, arr)
+            src_ns = os.stat(src_path).st_mtime_ns
+            os.utime(tmp, ns=(src_ns, src_ns))
             os.replace(tmp, self._path(page_id))
         except BaseException:
             try:
@@ -75,11 +86,3 @@ class DecodeCache:
             except OSError:
                 pass
             raise
-
-
-def cache_from_env(
-    explicit_dir: Optional[str], tag: str
-) -> Optional[DecodeCache]:
-    """Build a cache from an explicit dir or ``COVA_DECODE_CACHE``."""
-    d = explicit_dir or os.environ.get("COVA_DECODE_CACHE")
-    return DecodeCache(d, tag) if d else None

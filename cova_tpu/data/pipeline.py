@@ -175,7 +175,9 @@ class DataPipeline:
                 )
                 for k, pos in enumerate(miss_pos):
                     imgs[pos] = dec[k]
-                    decode_cache.put(self.ds.ids[int(idxs[pos])], dec[k])
+                    decode_cache.put(
+                        self.ds.ids[int(idxs[pos])], dec[k], paths[pos]
+                    )
             for pos, m in hits.items():
                 imgs[pos] = m  # the memmap's only read: page-cache memcpy
             return imgs

@@ -10,7 +10,8 @@ run() { # name cmd...
   local name=$1; shift
   echo "=== $name: $* ==="
   timeout 3000 "$@" 2>"$OUT/$name.err" | tail -5 | tee "$OUT/$name.out"
-  echo "rc=$? done $name"
+  # tee always exits 0 — report the measured command's status.
+  echo "rc=${PIPESTATUS[0]} done $name"
 }
 
 # Persistent compilation cache: remote-tunnel compiles have measured

@@ -71,6 +71,52 @@ def test_stale_entry_redecodes(tmp_path):
     np.testing.assert_array_equal(ds.image(0), new)
 
 
+def test_corrupt_entry_redecodes(tmp_path):
+    """A zero-length cache entry (np.load raises EOFError) must fall back
+    to decode and be replaced, not crash the pipeline forever."""
+    data, ids = _mk_data(tmp_path, n=1)
+    cache = str(tmp_path / "cache")
+    ds = WebDataset(data, ids, img_size=32, decode_cache_dir=cache)
+    want = ds.image(0)
+    entry = os.path.join(cache, os.listdir(cache)[0])
+    open(entry, "w").close()  # truncate to zero bytes
+    future = time.time() + 5
+    os.utime(entry, (future, future))  # staleness check passes
+    got = ds.image(0)
+    np.testing.assert_array_equal(got, want)
+    assert os.path.getsize(entry) > 0  # bad entry replaced
+
+
+def test_entry_mtime_copied_from_source(tmp_path):
+    """Entries stamp the SOURCE's mtime (make-style), so a clock-ahead
+    writer host on a shared FS can't leave entries perpetually stale."""
+    data, ids = _mk_data(tmp_path, n=1)
+    cache = str(tmp_path / "cache")
+    ds = WebDataset(data, ids, img_size=32, decode_cache_dir=cache)
+    future = time.time() + 3600  # source PNG from a clock-ahead host
+    os.utime(ds.img_paths[0], (future, future))
+    ds.image(0)
+    entry = os.path.join(cache, os.listdir(cache)[0])
+    assert os.stat(entry).st_mtime_ns == os.stat(
+        ds.img_paths[0]
+    ).st_mtime_ns
+    # And the entry is a hit, not perpetually stale.
+    assert ds._raw_cache.get(ids[0], ds.img_paths[0]) is not None
+
+
+def test_pil_and_native_raw_tags_distinct(tmp_path):
+    """The PIL fallback keeps original dimensions while the native path
+    resizes to img_size — their cache tags must differ so one can't
+    poison the other."""
+    data, ids = _mk_data(tmp_path, n=1)
+    cache = str(tmp_path / "cache")
+    pil_ds = WebDataset(data, ids, img_size=32, use_native=False,
+                        decode_cache_dir=cache)
+    pil_ds.image(0)
+    entries = os.listdir(cache)
+    assert entries == [f"{ids[0]}.raw-orig.npy"]
+
+
 def test_pipeline_batches_identical_cold_and_warm(tmp_path):
     """Batches must be bit-identical: uncached vs cache-cold vs cache-warm
     (exercises the native batch-decode path when the library is built, the
