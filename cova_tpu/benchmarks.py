@@ -21,6 +21,27 @@ import time
 import numpy as np
 
 
+def _vs_baseline(pages_per_sec, baseline_file, img_height):
+    """pages_per_sec over the measured torch-CPU anchor — None when the
+    anchor is missing OR was measured at a different image geometry (a
+    320px TPU number divided by the 1280px anchor would print a
+    meaninglessly inflated multiple). Batch size need not match: both
+    sides are per-page."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        baseline_file,
+    )
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        base = json.load(f)
+    if not base.get("value"):
+        return None
+    if base.get("geometry", {}).get("img") != img_height:
+        return None
+    return pages_per_sec / base["value"]
+
+
 def run_train_bench(
     batch_size: int = 8,
     steps: int = 20,
@@ -78,12 +99,18 @@ def run_train_bench(
             s.params["decoder_out"]["Dense_0"]["bias"].astype(jnp.float32)
         )
 
-    # Compile + warm. The tunnel occasionally throws a transient INTERNAL
+    # Compile + warm — through the VMEM compile-OOM fallback (shrink
+    # kernel budgets and re-trace at unanchored geometries, like the
+    # trainer). The tunnel also occasionally throws a transient INTERNAL
     # error on the first dispatch — retry in-process a couple of times
     # before the caller escalates to a fresh-interpreter retry (bench.py).
+    from .ops.vmem_fallback import with_vmem_fallback
+
     for attempt in range(3):
         try:
-            _ = float(run_steps(state, batch, rng_step))
+            _ = with_vmem_fallback(
+                lambda: float(run_steps(state, batch, rng_step))
+            )
             break
         except Exception:
             if attempt == 2:
@@ -97,16 +124,9 @@ def run_train_bench(
 
     pages_per_sec = batch_size / best_dt
 
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "baseline_torch.json",
+    vs_baseline = _vs_baseline(
+        pages_per_sec, "baseline_torch.json", img_height
     )
-    vs_baseline = None
-    if os.path.isfile(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)
-        if base.get("value"):
-            vs_baseline = pages_per_sec / base["value"]
 
     return {
         "metric": "train_webpages_per_sec_per_chip",
@@ -214,6 +234,18 @@ def run_e2e_bench(
         return state, rng
 
     state, rng = one_epoch(state, rng, 0)  # compile + warm
+    # Pre-compile EVERY bucket shape the trainer could dispatch: a bucket
+    # can first appear in any epoch (it depends on the batch's sampled max
+    # box count), and one stray compile inside the timed window — measured
+    # 69-2211 s through the remote tunnel — would corrupt the number.
+    from .data.batching import _slice_boxes
+
+    p_full = example.boxes.shape[1]
+    for t in sorted({b for b in cfg.box_buckets if b < p_full} | {p_full}):
+        warm = _slice_boxes(example, t) if t < p_full else example
+        state, _ = train_step(
+            state, jax.device_put(warm), jax.random.PRNGKey(2)
+        )
     t0 = time.time()
     for e in range(1, epochs + 1):
         state, rng = one_epoch(state, rng, e)
@@ -303,9 +335,15 @@ def run_infer_bench(
             )
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
+    from .ops.vmem_fallback import with_vmem_fallback
+
     for attempt in range(3):
         try:
-            _ = float(run_steps(state.params, state.batch_stats, batch))
+            _ = with_vmem_fallback(
+                lambda: float(
+                    run_steps(state.params, state.batch_stats, batch)
+                )
+            )
             break
         except Exception:
             if attempt == 2:
@@ -318,22 +356,17 @@ def run_infer_bench(
         best_dt = min(best_dt, (time.time() - t0) / steps)
 
     pages_per_sec = batch_size / best_dt
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "baseline_torch_infer.json",
+    vs_baseline = _vs_baseline(
+        pages_per_sec, "baseline_torch_infer.json", img_height
     )
-    vs_baseline = None
-    if os.path.isfile(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)
-        if base.get("value"):
-            vs_baseline = round(pages_per_sec / base["value"], 1)
 
     return {
         "metric": "infer_webpages_per_sec_per_chip",
         "value": round(pages_per_sec, 2),
         "unit": "pages/s",
-        "vs_baseline": vs_baseline,
+        "vs_baseline": (
+            round(vs_baseline, 1) if vs_baseline is not None else None
+        ),
         "step_ms": round(best_dt * 1000, 2),
         "batch_size": batch_size,
         "img_height": img_height,

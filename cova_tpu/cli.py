@@ -447,9 +447,12 @@ def cmd_sweep(args) -> int:
         fold_args.cv_fold = fold
         print(f"\n===== Fold {fold} =====")
         rc |= cmd_train(fold_args)
+    from .utils.logging import _is_primary
+
     cfg = _cfg_from_args(args)
     path = os.path.join(cfg.results_dir, "fold_wise_acc.csv")
-    if rc == 0 and os.path.isfile(path):
+    # Process 0 owns artifacts, like every other writer (reporting.py).
+    if rc == 0 and _is_primary() and os.path.isfile(path):
         summary = sweep_summary(path, args.folds)
         if summary:
             print("\n===== Sweep summary (mean ± std over folds) =====")
@@ -469,6 +472,8 @@ def cmd_bench(args) -> int:
         # one JSON line (run_e2e_bench measures both).
         result = benchmarks.run_e2e_bench(
             batch_size=args.batch_size_bench,
+            n_pages=args.e2e_pages,
+            epochs=args.e2e_epochs,
             img_height=args.img_height,
             compute_dtype=args.compute_dtype,
             source=args.e2e_source,
@@ -527,13 +532,20 @@ def main(argv: Optional[list] = None) -> int:
     sub.choices["visualize"].add_argument("--no_render", action="store_true")
     sub.choices["visualize"].add_argument("--max_pages", type=int, default=None)
     sub.choices["sweep"].add_argument(
-        "--folds", type=int, nargs="+", default=[1, 2, 3, 4, 5]
+        "--folds", type=int, nargs="+",
+        default=list(range(1, N_FOLDS + 1)),
     )
 
     b = sub.add_parser("bench")
     _add_common_flags(b)
-    b.add_argument("--steps", type=int, default=20)
+    b.add_argument("--steps", type=int, default=20,
+                   help="steps per timed window (train/infer modes; e2e "
+                        "is epoch-timed — use --e2e_pages/--e2e_epochs)")
     b.add_argument("--batch_size_bench", type=int, default=8)
+    b.add_argument("--e2e_pages", type=int, default=64,
+                   help="e2e mode: synthetic pages per epoch")
+    b.add_argument("--e2e_epochs", type=int, default=3,
+                   help="e2e mode: timed epochs (after one warm epoch)")
     b.add_argument("--mode", choices=["train", "infer", "e2e"],
                    default="train",
                    help="train = fwd+bwd+update (device-staged batch); "

@@ -105,12 +105,26 @@ class WebDataset:
 
     def decode_cache(self, tag: str):
         """A layout-tagged DecodeCache over this dataset's cache dir, or
-        None when caching is off."""
+        None when caching is off.
+
+        Entries live in a per-dataset-root subdirectory (keyed by the
+        resolved root path): page ids are only unique WITHIN a dataset, so
+        a cache dir shared across datasets (the COVA_DECODE_CACHE env var
+        invites a global one) must not serve dataset A's pixels for
+        dataset B's page of the same id.
+        """
+        import hashlib
+
         from .decode_cache import DecodeCache
 
         if not self.decode_cache_dir:
             return None
-        return DecodeCache(self.decode_cache_dir, tag)
+        root_key = hashlib.sha1(
+            os.path.realpath(self.root).encode()
+        ).hexdigest()[:12]
+        return DecodeCache(
+            os.path.join(self.decode_cache_dir, root_key), tag
+        )
 
     def image(self, index: int) -> np.ndarray:
         """Decode the screenshot to uint8 [H, W, 3] (cached if enabled)."""
@@ -119,7 +133,10 @@ class WebDataset:
                 self.ids[index], self.img_paths[index]
             )
             if hit is not None:
-                return np.asarray(hit)
+                # Copy out of the read-only memmap: callers get the same
+                # writable array a miss produces (and no fd pinned until
+                # GC). One page-cache memcpy — the intended hit cost.
+                return np.array(hit)
         if self.use_native and self.img_size is not None:
             arr = native_loader.decode_png(
                 self.img_paths[index], self.img_size, self.img_size

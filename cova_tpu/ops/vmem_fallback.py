@@ -21,18 +21,24 @@ from typing import Callable, TypeVar
 T = TypeVar("T")
 
 _OOM_MARKERS = (
-    "RESOURCE_EXHAUSTED",
-    "VMEM",
     "vmem",
     "scoped memory",
-    "Scoped memory",
     "exceeds the memory limit",
 )
 
 
 def is_vmem_oom(err: BaseException) -> bool:
-    s = f"{type(err).__name__}: {err}"
-    return any(m in s for m in _OOM_MARKERS)
+    """True only for COMPILE-time VMEM/scoped-memory exhaustion.
+
+    Deliberately narrower than "RESOURCE_EXHAUSTED": a *runtime* HBM OOM
+    also carries that status, but shrinking Pallas block budgets can't fix
+    it — and retrying a step whose donated input buffers were already
+    consumed would surface a confusing "Array has been deleted" instead of
+    the real diagnosis. HBM messages name their memory space ("... bytes
+    in hbm"), so any mention of hbm disqualifies.
+    """
+    s = f"{type(err).__name__}: {err}".lower()
+    return any(m in s for m in _OOM_MARKERS) and "hbm" not in s
 
 
 def with_vmem_fallback(

@@ -245,6 +245,12 @@ def fit(
 
     print("Training Model for %d epochs..." % cfg.n_epochs)
     stop = False
+    # Box-dim shapes whose train_step has already compiled. Each padding
+    # bucket is its own XLA program, and a bucket can first appear in ANY
+    # epoch (it depends on the batch's sampled max box count), so the
+    # VMEM compile-OOM fallback must wrap the first dispatch of every
+    # NEW shape — not just the first dispatch overall.
+    compiled_shapes: set = set()
     for epoch in range(start_epoch, cfg.n_epochs + 1):
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
@@ -270,10 +276,14 @@ def fit(
                                         sharding=train_sharding,
                                         place=train_place):
             rng, step_rng = jax.random.split(rng)
-            if not step_metrics and epoch == start_epoch:
-                # First dispatch compiles the step; recover from a VMEM
-                # compile OOM at unanchored geometries by shrinking the
-                # kernel budgets and re-tracing (ops.vmem_fallback).
+            shape_key = batch.boxes.shape[1]
+            if shape_key not in compiled_shapes:
+                # First dispatch at this bucket shape compiles a fresh
+                # program; recover from a VMEM compile OOM at unanchored
+                # geometries by shrinking the kernel budgets and
+                # re-tracing (ops.vmem_fallback). Compile errors surface
+                # before any buffer donation, so retrying is safe.
+                compiled_shapes.add(shape_key)
                 state, m = with_vmem_fallback(
                     lambda: train_step(state, batch, step_rng)
                 )

@@ -4,6 +4,7 @@ The cache must be a pure performance feature: identical images/batches with
 it on, off, cold, and warm; stale entries (source PNG newer) re-decode.
 """
 
+import glob
 import os
 import time
 
@@ -12,6 +13,11 @@ import numpy as np
 from cova_tpu.data.dataset import WebDataset
 from cova_tpu.data.pipeline import DataPipeline
 from cova_tpu.data.synthetic import materialize
+
+
+def _entries(cache_dir):
+    """Cache entry paths (entries live under a per-dataset-root subdir)."""
+    return sorted(glob.glob(os.path.join(cache_dir, "*", "*.npy")))
 
 
 def _mk_data(tmp_path, n=5, img_h=32):
@@ -31,7 +37,7 @@ def test_image_cache_roundtrip(tmp_path):
         np.testing.assert_array_equal(cold, plain.image(i))
         np.testing.assert_array_equal(warm, plain.image(i))
         assert warm.dtype == np.uint8
-    assert len(os.listdir(cache)) == len(ids)
+    assert len(_entries(cache)) == len(ids)
 
 
 def test_cache_off_by_default(tmp_path, monkeypatch):
@@ -49,7 +55,7 @@ def test_env_var_enables_cache(tmp_path, monkeypatch):
     data, ids = _mk_data(tmp_path, n=2)
     ds = WebDataset(data, ids, img_size=32)
     ds.image(0)
-    assert len(os.listdir(cache)) == 1
+    assert len(_entries(cache)) == 1
 
 
 def test_stale_entry_redecodes(tmp_path):
@@ -78,7 +84,7 @@ def test_corrupt_entry_redecodes(tmp_path):
     cache = str(tmp_path / "cache")
     ds = WebDataset(data, ids, img_size=32, decode_cache_dir=cache)
     want = ds.image(0)
-    entry = os.path.join(cache, os.listdir(cache)[0])
+    entry = _entries(cache)[0]
     open(entry, "w").close()  # truncate to zero bytes
     future = time.time() + 5
     os.utime(entry, (future, future))  # staleness check passes
@@ -96,7 +102,7 @@ def test_entry_mtime_copied_from_source(tmp_path):
     future = time.time() + 3600  # source PNG from a clock-ahead host
     os.utime(ds.img_paths[0], (future, future))
     ds.image(0)
-    entry = os.path.join(cache, os.listdir(cache)[0])
+    entry = _entries(cache)[0]
     assert os.stat(entry).st_mtime_ns == os.stat(
         ds.img_paths[0]
     ).st_mtime_ns
@@ -113,8 +119,43 @@ def test_pil_and_native_raw_tags_distinct(tmp_path):
     pil_ds = WebDataset(data, ids, img_size=32, use_native=False,
                         decode_cache_dir=cache)
     pil_ds.image(0)
-    entries = os.listdir(cache)
-    assert entries == [f"{ids[0]}.raw-orig.npy"]
+    entries = _entries(cache)
+    assert len(entries) == 1
+    assert os.path.basename(entries[0]) == f"{ids[0]}.raw-orig.npy"
+
+
+def test_shared_cache_dir_isolates_datasets(tmp_path):
+    """Two datasets with colliding page ids sharing one cache dir (the
+    COVA_DECODE_CACHE global-dir pattern) must never serve each other's
+    pixels — entries are scoped per dataset root."""
+    data_a = str(tmp_path / "a")
+    data_b = str(tmp_path / "b")
+    ids_a = materialize(data_a, 1, 32, seed=1, min_boxes=4, max_boxes=8)
+    ids_b = materialize(data_b, 1, 32, seed=9, min_boxes=4, max_boxes=8)
+    assert ids_a == ids_b  # same page id in both datasets
+    cache = str(tmp_path / "cache")
+    ds_a = WebDataset(data_a, ids_a, img_size=32, decode_cache_dir=cache)
+    ds_b = WebDataset(data_b, ids_b, img_size=32, decode_cache_dir=cache)
+    img_a = ds_a.image(0)
+    img_b = ds_b.image(0)  # must not hit A's entry
+    assert not np.array_equal(img_a, img_b)
+    np.testing.assert_array_equal(
+        ds_b.image(0), WebDataset(data_b, ids_b, img_size=32).image(0)
+    )
+    assert len(_entries(cache)) == 2
+
+
+def test_hit_returns_writable_array(tmp_path):
+    """image() hits must behave like misses: a fresh writable array, not a
+    read-only memmap view (in-place consumers would crash only on warm
+    epochs otherwise)."""
+    data, ids = _mk_data(tmp_path, n=1)
+    ds = WebDataset(data, ids, img_size=32,
+                    decode_cache_dir=str(tmp_path / "cache"))
+    ds.image(0)  # populate
+    hit = ds.image(0)
+    hit[0, 0, 0] = 255  # must not raise
+    assert not isinstance(hit, np.memmap)
 
 
 def test_pipeline_batches_identical_cold_and_warm(tmp_path):
@@ -132,7 +173,7 @@ def test_pipeline_batches_identical_cold_and_warm(tmp_path):
     ref = batches(WebDataset(data, ids, img_size=32))
     cds = WebDataset(data, ids, img_size=32, decode_cache_dir=cache)
     cold = batches(cds)
-    assert len(os.listdir(cache)) == len(ids)
+    assert len(_entries(cache)) == len(ids)
     warm = batches(cds)
     for (rp, rb), (cp, cb), (wp, wb) in zip(ref, cold, warm):
         assert rp == cp == wp

@@ -53,8 +53,22 @@ def test_gives_up_after_max_retries():
 
 
 def test_is_vmem_oom_markers():
-    assert is_vmem_oom(RuntimeError("RESOURCE_EXHAUSTED: out of memory"))
+    assert is_vmem_oom(
+        RuntimeError("RESOURCE_EXHAUSTED: Attempting to allocate VMEM")
+    )
     assert is_vmem_oom(RuntimeError("VMEM limit"))
+    assert is_vmem_oom(
+        RuntimeError("Mosaic: scoped memory exceeds the memory limit")
+    )
+    # Runtime HBM OOMs carry RESOURCE_EXHAUSTED too, but shrinking Pallas
+    # budgets can't fix them (and the step's donated inputs are gone) —
+    # they must pass through as the real error.
+    assert not is_vmem_oom(
+        RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 123456 bytes "
+            "in hbm"
+        )
+    )
     assert not is_vmem_oom(RuntimeError("shape mismatch"))
 
 
