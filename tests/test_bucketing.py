@@ -72,6 +72,101 @@ def test_bucketed_eval_is_exact(tiny_cfg, monkeypatch):
     np.testing.assert_array_equal(cls_b, cls_full)
 
 
+def test_fit_vmem_fallback_covers_every_bucket(tmp_path, monkeypatch):
+    """The compile-OOM fallback must wrap the FIRST dispatch of every
+    bucket shape — a bucket can first appear mid-epoch (it depends on a
+    batch's sampled max box count), not just on the first step."""
+    import cova_tpu.train.trainer as tr
+    from cova_tpu.data.batching import _bucket_target, _max_valid
+    from cova_tpu.data.pipeline import DataPipeline
+    from cova_tpu.ops import bn_pool, roi_pool_pallas
+    from cova_tpu.utils.checkpoint import CheckpointManager
+
+    # Restore the global kernel budgets the fallback's shrink mutates.
+    monkeypatch.setattr(
+        roi_pool_pallas, "_SCOPED_VMEM_BUDGET",
+        roi_pool_pallas._SCOPED_VMEM_BUDGET,
+    )
+    monkeypatch.setattr(bn_pool, "_TU_BUDGET", bn_pool._TU_BUDGET)
+
+    cfg = Config(
+        img_height=64, max_boxes=16, context_size=3, hidden_dim=32,
+        bbox_hidden_dim=8, batch_size=2, eval_batch_size=2, n_epochs=1,
+        compute_dtype="float32", box_buckets=(8,),
+        output_dir=str(tmp_path),
+    )
+
+    from cova_tpu.data.synthetic import synth_image, synth_record
+
+    class FixedCountDS:
+        """Pages with EXACT box counts so batch buckets are deterministic
+        (unshuffled batches of 2: small pages -> bucket 8, large -> 16)."""
+
+        n_additional_feat = 0
+
+        def __init__(self, counts, img_h=64):
+            self.recs = [
+                synth_record(str(i), img_h, np.random.default_rng((5, i)),
+                             min_boxes=c, max_boxes=c)
+                for i, c in enumerate(counts)
+            ]
+            self.imgs = [
+                synth_image(r, img_h, np.random.default_rng((6, i)))
+                for i, r in enumerate(self.recs)
+            ]
+
+        def __len__(self):
+            return len(self.recs)
+
+        def record(self, i):
+            return self.recs[i]
+
+        def image(self, i):
+            return self.imgs[i]
+
+    ds = FixedCountDS([5, 6, 5, 6, 14, 15, 14, 15])
+    mk = lambda: DataPipeline(  # noqa: E731
+        ds, batch_size=2, pad_boxes=cfg.pad_boxes,
+        context_size=cfg.context_size, shuffle=False, num_threads=2,
+    )
+    train_p, val_p = mk(), mk()
+
+    # The bucket shapes epoch 1 will dispatch, derived from the data.
+    expected = set()
+    for _, b in train_p.epoch(epoch=1):
+        b, _ = pad_batch(b, 2)
+        expected.add(_bucket_target(_max_valid(b), b.boxes.shape[1],
+                                    cfg.box_buckets))
+    assert len(expected) >= 2, "fixture must exercise >= 2 bucket shapes"
+
+    model = build_model(cfg)
+    _, ex = next(iter(val_p.epoch(0)))
+    ex, _ = pad_batch(ex, 2)
+    state = create_train_state(model, cfg, ex, jax.random.PRNGKey(0))
+
+    real_step = tr.train_step
+    oomed = set()
+
+    def flaky(state, batch, rng):
+        k = batch.boxes.shape[1]
+        if k not in oomed:
+            oomed.add(k)
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Attempting to allocate VMEM "
+                "scoped memory"
+            )
+        return real_step(state, batch, rng)
+
+    monkeypatch.setattr(tr, "train_step", flaky)
+    state, best = tr.fit(
+        state, cfg, train_p, val_p,
+        CheckpointManager(str(tmp_path / "ckpt")),
+    )
+    # Every bucket shape OOM'd exactly once and training still completed.
+    assert oomed == expected
+    assert np.isfinite(best)
+
+
 def test_bucket_batches_common_target():
     from cova_tpu.data.batching import bucket_batches
 
