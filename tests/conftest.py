@@ -15,6 +15,15 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent compilation cache: the suite is compile-dominated (measured
+# 94 -> 37 s on test_bucketing.py with a warm cache). Keyed by HLO +
+# compiler flags, so it is correctness-neutral; delete the dir to force
+# cold compiles. Set through the config API below too — a sitecustomize
+# imports jax at interpreter start, freezing env-var defaults.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 # A sitecustomize module may import jax at interpreter start (freezing
 # jax_platforms from the original environment) — override via the config API
@@ -22,6 +31,9 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
