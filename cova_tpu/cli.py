@@ -356,6 +356,50 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Standalone serving surface: per-box class predictions, one CSV per
+    page (see ``train/predict.py``). Pages default to the fold's test
+    split; ``--page_ids`` predicts arbitrary pages from ``--data_dir``
+    (their bbox CSVs' label column is ignored — use 0 when unlabeled)."""
+    import json
+
+    from .data.pipeline import DataPipeline
+    from .train.predict import predict_pages
+
+    cfg = _cfg_from_args(args)
+    train_ds, val_ds, test_ds, _, _ = _load_datasets(cfg, args)
+    cfg, model, state, _, _, test_p = _build(cfg, train_ds, val_ds, test_ds)
+    state = _restore_best(cfg, state)
+    pipeline = test_p
+    if args.page_ids:
+        if args.synthetic:
+            raise SystemExit("--page_ids requires on-disk data, not "
+                             "--synthetic (synthetic predicts its test split)")
+        from .data.dataset import WebDataset
+
+        pred_ds = WebDataset(
+            cfg.data_dir, args.page_ids, cfg.use_additional_feat,
+            img_size=cfg.img_height,
+            decode_cache_dir=cfg.decode_cache or None,
+        )
+        pipeline = DataPipeline(
+            pred_ds, batch_size=cfg.eval_batch_size,
+            pad_boxes=cfg.pad_boxes, context_size=cfg.context_size,
+            shuffle=False, sampling_fraction=1.0, seed=cfg.seed,
+            num_threads=cfg.num_workers,
+        )
+    out_dir = args.out_dir or os.path.join(
+        cfg.results_dir, f"Fold-{cfg.cv_fold} predictions"
+    )
+    summary = predict_pages(
+        state, pipeline, out_dir, CLASS_NAMES,
+        max_pages=args.max_pages, box_buckets=cfg.box_buckets,
+    )
+    print(f"Predictions for {summary['pages']} pages saved in {out_dir}")
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from .train.extract import extract_attention
 
@@ -519,6 +563,7 @@ def main(argv: Optional[list] = None) -> int:
     for name, fn in [
         ("train", cmd_train),
         ("eval", cmd_eval),
+        ("predict", cmd_predict),
         ("visualize", cmd_visualize),
         ("sweep", cmd_sweep),
     ]:
@@ -529,6 +574,14 @@ def main(argv: Optional[list] = None) -> int:
         "--top_k", type=int, default=1,
         help="retrieval depth k of evaluate_model (reference "
              "train.py:102,144-153; published numbers use k=1)")
+    sub.choices["predict"].add_argument(
+        "--page_ids", type=str, nargs="+", default=None,
+        help="predict these pages from --data_dir instead of the fold's "
+             "test split (bbox CSV label column is ignored)")
+    sub.choices["predict"].add_argument(
+        "--out_dir", type=str, default=None,
+        help="output dir (default: <results_dir>/Fold-<k> predictions)")
+    sub.choices["predict"].add_argument("--max_pages", type=int, default=None)
     sub.choices["visualize"].add_argument("--no_render", action="store_true")
     sub.choices["visualize"].add_argument("--max_pages", type=int, default=None)
     sub.choices["sweep"].add_argument(

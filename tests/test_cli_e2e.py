@@ -140,3 +140,43 @@ def test_cli_resume(trained):
     rd = _results_dir(trained)
     log = open(os.path.join(rd, "Fold-1 logs.txt")).read()
     assert "Resuming from epoch 3" in log
+
+
+def test_predict_standalone(trained, tmp_path):
+    """`cova predict` writes one per-page CSV of box predictions +
+    calibrated probabilities (the serving surface; train/predict.py)."""
+    out = str(tmp_path / "preds")
+    rc = main([
+        "predict", "--synthetic", "16", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
+        "--compute_dtype", "float32", "--output_dir", trained,
+        "-nw", "2", "--out_dir", out, "--max_pages", "2",
+    ])
+    assert rc == 0
+    csvs = sorted(
+        f for f in os.listdir(out)
+        if f.endswith(".csv") and f != "retrieval.csv"
+    )
+    assert len(csvs) == 2
+    path = os.path.join(out, csvs[0])
+    header = open(path).readline().strip()
+    assert header == "x,y,w,h,pred,p_BG,p_Price,p_Title,p_Image"
+    rows = np.atleast_2d(np.loadtxt(path, delimiter=",", skiprows=1))
+    assert rows.shape[1] == 4 + 1 + 4
+    probs = rows[:, 5:]
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-3)
+    # pred is the argmax of the written distribution
+    np.testing.assert_array_equal(rows[:, 4], probs.argmax(1))
+    # boxes are the page's real (non-padding) boxes in x/y/w/h
+    assert (rows[:, 2] > 0).all() and (rows[:, 3] > 0).all()
+    # task-level retrieval artifact: one pick per (page, non-BG class),
+    # the highest-scoring box of that class column (reference
+    # train.py:144-153 ranking at k=1)
+    ret = open(os.path.join(out, "retrieval.csv")).read().splitlines()
+    assert ret[0] == "page_id,class,box_index,x,y,w,h,score"
+    assert len(ret) == 1 + 2 * 3  # 2 pages x {Price, Title, Image}
+    for line in ret[1:]:
+        parts = line.split(",")
+        assert parts[1] in {"Price", "Title", "Image"}
+        assert 0 <= int(parts[2]) < 232
+        assert 0.0 <= float(parts[7]) <= 1.0
