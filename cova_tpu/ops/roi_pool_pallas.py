@@ -198,6 +198,126 @@ def _fwd_kernel(
     jax.lax.fori_loop(0, p_total, per_box, 0)
 
 
+def _fwd_kernel_ranged(
+    bounds_s, fm_ref, out_ref, m1_ref, *, h, w, cb, out_h, out_w
+):
+    """Ranged-walk forward variant (``COVA_ROI_FWD=ranged``): per-program
+    chunk-max pyramid + per-bin-row range decomposition.
+
+    The walk kernel's per-box cost grows with box height: every chunk the
+    box spans does ``out_h`` row-masked maxes over a full ``[_CHUNK, cb,
+    128]`` slab. Here each program first reduces its resident slab to a
+    chunk-max pyramid ``m1[h/_CHUNK, cb, w3]`` (one cheap VMEM-local pass),
+    and each bin-row's ``[ylo, yhi)`` range then decomposes into at most
+    two row-masked EDGE chunks plus a run of interior chunks folded from
+    single ``[cb, 128]`` m1 rows — 8x less vector work per interior chunk,
+    making per-box cost nearly height-independent. Max is idempotent, so
+    edge/interior overlap (bin boundaries on chunk boundaries) and the
+    duplicated edge when a bin fits one chunk are harmless; empty
+    (clipped) bins produce all-false masks -> -inf -> zeroed by the store
+    phase, with chunk indices clamped into range so their loads stay in
+    bounds.
+
+    Tradeoff to measure on chip: short boxes (1 chunk) pay 2 edge maxes
+    per bin-row where the walk pays 1, and the pyramid pass runs whether
+    or not tall boxes exist. Requires ``h % _CHUNK == 0`` (the dispatcher
+    falls back to the walk kernel otherwise).
+    """
+    b = pl.program_id(0)
+    p_total = out_ref.shape[2]
+    stride = 2 * out_h + 2 * out_w
+    n_chunks = h // _CHUNK
+    row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+
+    def mk(c, carry):
+        y0 = pl.multiple_of(c * _CHUNK, _CHUNK)
+        m1_ref[c, :, :] = jnp.max(
+            fm_ref[0, 0, pl.ds(y0, _CHUNK), :, :].astype(jnp.float32),
+            axis=0,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, mk, 0)
+
+    def per_box(p, carry):
+        base = p * stride
+        ylo = [bounds_s[b, base + i] for i in range(out_h)]
+        yhi = [bounds_s[b, base + out_h + i] for i in range(out_h)]
+        xlo = [bounds_s[b, base + 2 * out_h + j] for j in range(out_w)]
+        xhi = [bounds_s[b, base + 2 * out_h + out_w + j]
+               for j in range(out_w)]
+        valid = yhi[out_h - 1] > ylo[0]
+
+        @pl.when(valid)
+        def _():
+            w0 = xlo[0] // 128
+            w1 = (xhi[out_w - 1] + 127) // 128
+
+            def per_window(wnd, reds):
+                x0 = pl.multiple_of(wnd * 128, 128)
+                nreds = list(reds)
+                for i in range(out_h):
+                    lo, hi = ylo[i], yhi[i]
+
+                    def edge(c):
+                        y0e = pl.multiple_of(c * _CHUNK, _CHUNK)
+                        slab = fm_ref[
+                            0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
+                        ].astype(jnp.float32)
+                        ym = (row_y + y0e >= lo) & (row_y + y0e < hi)
+                        return jnp.max(jnp.where(ym, slab, neg), axis=0)
+
+                    ct = jnp.clip(lo // _CHUNK, 0, n_chunks - 1)
+                    cbm = jnp.clip((hi - 1) // _CHUNK, 0, n_chunks - 1)
+                    acc = jnp.maximum(edge(ct), edge(cbm))
+                    ilo = (lo + _CHUNK - 1) // _CHUNK
+                    ihi = hi // _CHUNK  # exclusive; <= ilo -> no-op loop
+
+                    def ibody(c, a):
+                        return jnp.maximum(
+                            a, m1_ref[pl.ds(c, 1), :, pl.ds(x0, 128)][0]
+                        )
+
+                    acc = jax.lax.fori_loop(ilo, ihi, ibody, acc)
+                    for j in range(out_w):
+                        xm = (col_x + x0 >= xlo[j]) & (col_x + x0 < xhi[j])
+                        part = jnp.max(jnp.where(xm, acc, neg), axis=1)
+                        nreds[i * out_w + j] = jnp.maximum(
+                            nreds[i * out_w + j], part
+                        )
+                return tuple(nreds)
+
+            reds = jax.lax.fori_loop(
+                w0, w1, per_window,
+                tuple(jnp.full((cb,), neg, jnp.float32)
+                      for _k in range(out_h * out_w)),
+            )
+            for i in range(out_h):
+                empty_y = yhi[i] <= ylo[i]
+                for j in range(out_w):
+                    empty = empty_y | (xhi[j] <= xlo[j])
+                    red = jnp.where(
+                        empty,
+                        jnp.zeros((), jnp.float32),
+                        reds[i * out_w + j],
+                    )
+                    out_ref[0, 0, p, :, i * out_w + j] = red.astype(
+                        out_ref.dtype
+                    )
+
+        @pl.when(jnp.logical_not(valid))
+        def _():
+            zero = jnp.zeros((cb,), out_ref.dtype)
+            for k in range(out_h * out_w):
+                out_ref[0, 0, p, :, k] = zero
+
+        return carry
+
+    jax.lax.fori_loop(0, p_total, per_box, 0)
+
+
 def _bwd_kernel(
     bounds_s, fm_ref, out_ref, g_ref, dfm_ref,
     *, h, w, cb, out_h, out_w
@@ -326,23 +446,35 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, p_total, per_box, 0)
 
 
+def _pad_h(h: int) -> int:
+    """Round H up to a whole number of row chunks: the kernels' chunk
+    loads are ``pl.ds(c * _CHUNK, _CHUNK)``, which would silently CLAMP
+    (dynamic-slice semantics — duplicating rows under a mislabeled row
+    mask) at the last partial chunk of an h % _CHUNK != 0 map. Bin bounds
+    are clamped to the TRUE h, so no mask ever selects a padded row."""
+    return ((h + _CHUNK - 1) // _CHUNK) * _CHUNK
+
+
 def _fold_fm(fm: jnp.ndarray, cb: int) -> jnp.ndarray:
-    """[B, H, W, C] -> [B, C//cb, H, cb, W3] (channels to sublanes; W
-    zero-padded to a 128-lane multiple so the kernels' aligned dynamic
-    window slices stay in bounds)."""
+    """[B, H, W, C] -> [B, C//cb, Hp, cb, W3] (channels to sublanes; H
+    zero-padded to a whole chunk count and W to a 128-lane multiple so the
+    kernels' aligned dynamic slices stay in bounds)."""
     b, h, w, c = fm.shape
     t = fm.reshape(b, h, w, c // cb, cb).transpose(0, 3, 1, 4, 2)
-    pad = _lanes(w) - w
-    if pad:
-        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
+    pad_w = _lanes(w) - w
+    pad_h = _pad_h(h) - h
+    if pad_w or pad_h:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, pad_h), (0, 0), (0, pad_w)))
     return t
 
 
-def _unfold_fm(fm_t: jnp.ndarray, w: int) -> jnp.ndarray:
-    """[B, n_cb, H, cb, W3] -> [B, H, W, C] (drops the lane padding)."""
-    b, n_cb, h, cb, _w3 = fm_t.shape
+def _unfold_fm(fm_t: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[B, n_cb, Hp, cb, W3] -> [B, H, W, C] (drops the row/lane padding)."""
+    b, n_cb, _hp, cb, _w3 = fm_t.shape
     return (
-        fm_t[..., :w].transpose(0, 2, 4, 1, 3).reshape(b, h, w, n_cb * cb)
+        fm_t[:, :, :h, :, :w]
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(b, h, w, n_cb * cb)
     )
 
 
@@ -370,7 +502,7 @@ def _lanes(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
-def _fwd_vmem_bytes(h, w, cb, p, ohw, itemsize, b, c) -> int:
+def _fwd_vmem_bytes(h, w, cb, p, ohw, itemsize, b, c, ranged=False) -> int:
     """Modeled scoped-VMEM demand of one FORWARD grid program:
 
       * the [h, cb, w] feature slab (double-buffered by the Pallas
@@ -378,12 +510,15 @@ def _fwd_vmem_bytes(h, w, cb, p, ohw, itemsize, b, c) -> int:
       * the pooled output block [p, cb, ohw->128];
       * the ENTIRE pooled output array: XLA stacks small pallas outputs
         whole in VMEM (S(1) in its OOM reports, unpadded size) — this is
-        the term that actually scales with batch size.
+        the term that actually scales with batch size;
+      * the ranged variant's f32 chunk-max pyramid scratch
+        [h/_CHUNK, cb, w3] (not double-buffered: scratch, not pipelined).
     """
     return (
         2 * h * cb * _lanes(w) * itemsize
         + 2 * p * cb * _lanes(ohw) * itemsize
         + b * p * ohw * c * itemsize
+        + (h // _CHUNK) * cb * _lanes(w) * 4 * (1 if ranged else 0)
     )
 
 
@@ -461,25 +596,39 @@ def _specs(b, p, h, w, cb, out_h, out_w, n_io: int):
 def _roi_pool_fwd_impl(
     fm, boxes, box_mask, *, spatial_scale, out_h, out_w, interpret=False
 ):
+    import os
+
     b, h, w, c = fm.shape
     p = boxes.shape[1]
     ohw = out_h * out_w
+    hp = _pad_h(h)  # kernels see whole chunks; bounds clamp to the true h
+    # Ranged-walk forward (chunk-max pyramid; see _fwd_kernel_ranged):
+    # opt-in via COVA_ROI_FWD=ranged until measured on chip.
+    ranged = os.environ.get("COVA_ROI_FWD", "walk") == "ranged"
     cb = _pick_cb(
         c,
-        lambda cb: _fwd_vmem_bytes(h, w, cb, p, ohw, fm.dtype.itemsize, b, c),
+        lambda cb: _fwd_vmem_bytes(
+            hp, w, cb, p, ohw, fm.dtype.itemsize, b, c, ranged=ranged
+        ),
     )
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
-    fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 1)
+    fm_spec, out_spec = _specs(b, p, hp, w, cb, out_h, out_w, 1)
+    kernel = _fwd_kernel_ranged if ranged else _fwd_kernel
+    scratch = (
+        [pltpu.VMEM((hp // _CHUNK, cb, _lanes(w)), jnp.float32)]
+        if ranged else []
+    )
     out_t = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, h=h, w=w, cb=cb, out_h=out_h, out_w=out_w
+            kernel, h=hp, w=w, cb=cb, out_h=out_h, out_w=out_w
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_cb),
             in_specs=[fm_spec],
             out_specs=out_spec,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b, n_cb, p, cb, out_h * out_w), fm.dtype
@@ -499,16 +648,17 @@ def _roi_pool_bwd_impl(
     b, h, w, c = fm.shape
     p = boxes.shape[1]
     ohw = out_h * out_w
+    hp = _pad_h(h)
     # Smaller channel blocks than forward: the bwd holds fm AND dfm slabs.
     cb = _pick_cb(
-        c, lambda cb: _bwd_vmem_bytes(h, w, cb, p, ohw, fm.dtype.itemsize)
+        c, lambda cb: _bwd_vmem_bytes(hp, w, cb, p, ohw, fm.dtype.itemsize)
     )
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
-    fm_spec, out_spec = _specs(b, p, h, w, cb, out_h, out_w, 3)
+    fm_spec, out_spec = _specs(b, p, hp, w, cb, out_h, out_w, 3)
     dfm_t = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, h=h, w=w, cb=cb, out_h=out_h, out_w=out_w
+            _bwd_kernel, h=hp, w=w, cb=cb, out_h=out_h, out_w=out_w
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -517,7 +667,7 @@ def _roi_pool_bwd_impl(
             out_specs=fm_spec,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, n_cb, h, cb, _lanes(w)), fm.dtype
+            (b, n_cb, hp, cb, _lanes(w)), fm.dtype
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -529,7 +679,7 @@ def _roi_pool_bwd_impl(
         _fold_out(pooled, b, p, out_h, out_w, n_cb, cb),
         _fold_out(g, b, p, out_h, out_w, n_cb, cb),
     )
-    return _unfold_fm(dfm_t, w)
+    return _unfold_fm(dfm_t, h, w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

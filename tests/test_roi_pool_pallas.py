@@ -186,3 +186,74 @@ def test_multi_window_backward():
     np.testing.assert_allclose(
         np.asarray(gp), np.asarray(gx), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ranged_forward_matches_oracle(seed, monkeypatch):
+    """COVA_ROI_FWD=ranged: the chunk-max-pyramid forward must be exact
+    against the oracle, including multi-window boxes, masked boxes, and
+    clipped/empty bins."""
+    monkeypatch.setenv("COVA_ROI_FWD", "ranged")
+    rng = np.random.default_rng(seed)
+    # H=W=32 with img=128 at scale 0.25 -> boxes span several 8-row chunks
+    # and both lane windows; W=160+ would exceed interpret-mode patience.
+    fm, boxes, mask = _case(rng, B=2, H=32, W=32, C=8, P=12, img=128)
+    mask[:, 9:] = False
+    got = np.asarray(
+        roi_pool_pallas(
+            jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask),
+            0.25, 3, 3, True,
+        )
+    )
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got[:, :9], want[:, :9], rtol=1e-6, atol=1e-6)
+    assert (got[:, 9:] == 0).all()
+
+
+def test_ranged_tall_boxes_and_chunk_aligned_bins(monkeypatch):
+    """Bins whose bounds land exactly on chunk boundaries overlap the edge
+    and interior decomposition — max idempotence must keep it exact. Also
+    covers full-height boxes (pure interior runs)."""
+    monkeypatch.setenv("COVA_ROI_FWD", "ranged")
+    rng = np.random.default_rng(7)
+    fm = rng.normal(size=(1, 48, 16, 8)).astype(np.float32)
+    boxes = np.array([[
+        [0.0, 0.0, 63.0, 191.0],     # full-height box
+        [4.0, 0.0, 40.0, 95.0],      # bins 0/8/16/24 -> chunk-aligned
+        [0.0, 32.0, 20.0, 46.0],     # short box, single chunk
+        [8.0, 180.0, 30.0, 191.0],   # bottom-clipped
+    ]], np.float32)
+    mask = np.ones((1, 4), bool)
+    got = np.asarray(
+        roi_pool_pallas(
+            jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask),
+            0.25, 3, 3, True,
+        )
+    )
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["walk", "ranged"])
+def test_h_not_chunk_divisible_is_padded(impl, monkeypatch):
+    """h % 8 != 0: the fold step must pad H to whole chunks — the kernels'
+    chunk loads would otherwise CLAMP at the last partial chunk (dynamic-
+    slice semantics), silently duplicating rows under a mislabeled row
+    mask. Regression test for the padding fix; exercises fwd AND bwd."""
+    monkeypatch.setenv("COVA_ROI_FWD", impl)
+    rng = np.random.default_rng(9)
+    fm, boxes, mask = _case(rng, H=12, W=16, img=48)
+    fmj, bj, mj = jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask)
+    got = np.asarray(roi_pool_pallas(fmj, bj, mj, 0.25, 3, 3, True))
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def loss_pallas(f):
+        return (roi_pool_pallas(f, bj, mj, 0.25, 3, 3, True) ** 2).sum()
+
+    def loss_xla(f):
+        return (roi_pool(f, bj, spatial_scale=0.25) ** 2).sum()
+
+    d_pallas = np.asarray(jax.grad(loss_pallas)(fmj))
+    d_xla = np.asarray(jax.grad(loss_xla)(fmj))
+    np.testing.assert_allclose(d_pallas, d_xla, rtol=1e-5, atol=1e-5)
