@@ -5,7 +5,13 @@ Methodology (see memory/env notes): N iterations inside one jit via
 lax.fori_loop with the loop index folded into the input so XLA cannot hoist
 the body; a scalar fetch forces the sync through the tunnel.
 
-Usage: python scripts/bench_roi_pool.py [B] [C] [HW]
+Usage: python scripts/bench_roi_pool.py [B] [C] [HW] [mix]
+
+mix: "small" (default, 20-120 px boxes — the historical mix every prior
+round's numbers used), "real" (70% small + 20% medium + 10% page-spanning
+tall containers, approximating a DOM's box-height distribution), or
+"tall" (all 400-1200 px — the ranged forward's best case).
+Set COVA_ROI_FWD=ranged to A/B the chunk-max-pyramid forward variant.
 """
 
 import sys
@@ -27,6 +33,7 @@ from cova_tpu.ops.roi_pool_pallas import (  # noqa: E402
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 C = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 HW = int(sys.argv[3]) if len(sys.argv) > 3 else 320
+MIX = sys.argv[4] if len(sys.argv) > 4 else "small"
 P = 232
 STEPS = 50
 
@@ -35,14 +42,33 @@ fm = jnp.asarray(rng.normal(size=(B, HW, HW, C)).astype(np.float32)).astype(
     jnp.bfloat16
 )
 img = HW * 4
-x1 = rng.uniform(0, img - 130, (B, P))
-y1 = rng.uniform(0, img - 130, (B, P))
-wid = rng.uniform(20, 120, (B, P))
-hei = rng.uniform(20, 120, (B, P))
+if MIX == "small":
+    wid = rng.uniform(20, 120, (B, P))
+    hei = rng.uniform(20, 120, (B, P))
+elif MIX == "tall":
+    wid = rng.uniform(100, 800, (B, P))
+    hei = rng.uniform(400, 1200, (B, P))
+elif MIX == "real":
+    kind = rng.uniform(0, 1, (B, P))
+    wid = np.where(
+        kind < 0.7, rng.uniform(20, 120, (B, P)),
+        np.where(kind < 0.9, rng.uniform(100, 400, (B, P)),
+                 rng.uniform(300, 1000, (B, P))),
+    )
+    hei = np.where(
+        kind < 0.7, rng.uniform(15, 80, (B, P)),
+        np.where(kind < 0.9, rng.uniform(80, 400, (B, P)),
+                 rng.uniform(400, 1200, (B, P))),
+    )
+else:
+    raise SystemExit(f"unknown mix {MIX!r}")
+x1 = rng.uniform(0, np.maximum(img - wid - 1, 1))
+y1 = rng.uniform(0, np.maximum(img - hei - 1, 1))
 boxes = jnp.asarray(
     np.stack([x1, y1, x1 + wid, y1 + hei], -1).astype(np.float32)
 )
 mask = jnp.asarray(np.ones((B, P), bool))
+print(f"mix={MIX} roi_fwd={__import__('os').environ.get('COVA_ROI_FWD', 'walk')}")
 
 cb_f = _pick_cb(C, lambda cb: _fwd_vmem_bytes(HW, HW, cb, P, 9, 2, B, C))
 cb_b = _pick_cb(C, lambda cb: _bwd_vmem_bytes(HW, HW, cb, P, 9, 2))

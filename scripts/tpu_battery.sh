@@ -26,3 +26,13 @@ run infer_b32    python -m cova_tpu.cli bench --mode infer --batch_size_bench 32
 run infer_b1     python -m cova_tpu.cli bench --mode infer --batch_size_bench 1
 run e2e_disk     python -m cova_tpu.cli bench --mode e2e --e2e_source disk --batch_size_bench 8
 run eval_chunk   python scripts/measure_eval_chunk.py --pages 40
+# RoIPool ranged-forward A/B (chunk-max pyramid, COVA_ROI_FWD=ranged):
+# walk vs ranged on the historical small mix, an approximated real DOM
+# mix, and the all-tall best case; plus the whole-step bench both ways.
+run roi_small_walk    python scripts/bench_roi_pool.py 8 64 320 small
+run roi_small_ranged  env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 small
+run roi_real_walk     python scripts/bench_roi_pool.py 8 64 320 real
+run roi_real_ranged   env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 real
+run roi_tall_walk     python scripts/bench_roi_pool.py 8 64 320 tall
+run roi_tall_ranged   env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 tall
+run bench_ranged      env COVA_ROI_FWD=ranged python bench.py
