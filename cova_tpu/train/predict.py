@@ -36,6 +36,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..data.batching import bucket_batch, pad_batch
+from ..utils.logging import _is_primary
 from .steps import forward_step
 
 
@@ -60,6 +61,13 @@ def predict_pages(
     Returns a summary dict: ``pages``, ``boxes``, and per-class predicted
     box counts (keyed by class name).
     """
+    # Eval-style pipelines are unsharded (every host reads the full page
+    # list), so under multi-host only process 0 runs/writes — the others
+    # would race the same files on a shared FS for identical content.
+    if not _is_primary():
+        s = {"pages": 0, "boxes": 0}
+        s.update({c: 0 for c in class_names})
+        return s
     os.makedirs(out_dir, exist_ok=True)
     eval_bs = pipeline.batch_size
     n_classes = len(class_names)
