@@ -363,31 +363,54 @@ def cmd_predict(args) -> int:
     (their bbox CSVs' label column is ignored — use 0 when unlabeled)."""
     import json
 
-    from .data.pipeline import DataPipeline
     from .train.predict import predict_pages
 
     cfg = _cfg_from_args(args)
-    train_ds, val_ds, test_ds, _, _ = _load_datasets(cfg, args)
-    cfg, model, state, _, _, test_p = _build(cfg, train_ds, val_ds, test_ds)
-    state = _restore_best(cfg, state)
-    pipeline = test_p
     if args.page_ids:
+        # Standalone serving path: load ONLY the requested pages — no
+        # splits/ tree, no fold datasets (a deploy box has just imgs/ +
+        # bboxes/ for the pages it serves). The model/state are built
+        # from the predict pipeline's own first batch.
         if args.synthetic:
             raise SystemExit("--page_ids requires on-disk data, not "
                              "--synthetic (synthetic predicts its test split)")
-        from .data.dataset import WebDataset
+        import jax
 
+        from .data import native_loader
+        from .data.batching import pad_batch
+        from .data.dataset import WebDataset
+        from .data.pipeline import DataPipeline
+        from .models.cova import build_model
+        from .train.steps import create_train_state
+
+        native_loader.ensure_built()
         pred_ds = WebDataset(
             cfg.data_dir, args.page_ids, cfg.use_additional_feat,
             img_size=cfg.img_height,
             decode_cache_dir=cfg.decode_cache or None,
         )
+        if pred_ds.n_additional_feat:
+            cfg = cfg.replace(n_additional_feat=pred_ds.n_additional_feat)
         pipeline = DataPipeline(
             pred_ds, batch_size=cfg.eval_batch_size,
             pad_boxes=cfg.pad_boxes, context_size=cfg.context_size,
             shuffle=False, sampling_fraction=1.0, seed=cfg.seed,
             num_threads=cfg.num_workers,
         )
+        model = build_model(cfg)
+        _, example = next(iter(pipeline.epoch(0)))
+        example, _ = pad_batch(example, cfg.eval_batch_size)
+        state = create_train_state(
+            model, cfg, example, jax.random.PRNGKey(cfg.seed)
+        )
+        state = _restore_best(cfg, state)
+    else:
+        train_ds, val_ds, test_ds, _, _ = _load_datasets(cfg, args)
+        cfg, model, state, _, _, test_p = _build(
+            cfg, train_ds, val_ds, test_ds
+        )
+        state = _restore_best(cfg, state)
+        pipeline = test_p
     out_dir = args.out_dir or os.path.join(
         cfg.results_dir, f"Fold-{cfg.cv_fold} predictions"
     )

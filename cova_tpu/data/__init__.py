@@ -1,4 +1,6 @@
-"""Data layer (lazy re-exports — keep package import light)."""
+"""Data layer (lazy re-exports)."""
+
+from ..utils.lazy import make_lazy_getattr
 
 _EXPORTS = {
     "WebDataset": ("dataset", "WebDataset"),
@@ -7,13 +9,4 @@ _EXPORTS = {
 }
 
 __all__ = list(_EXPORTS)
-
-
-def __getattr__(name):
-    try:
-        mod, attr = _EXPORTS[name]
-    except KeyError:
-        raise AttributeError(name) from None
-    import importlib
-
-    return getattr(importlib.import_module(f".{mod}", __name__), attr)
+__getattr__ = make_lazy_getattr(_EXPORTS, __name__)

@@ -220,8 +220,8 @@ def _fwd_kernel_ranged(
 
     Tradeoff to measure on chip: short boxes (1 chunk) pay 2 edge maxes
     per bin-row where the walk pays 1, and the pyramid pass runs whether
-    or not tall boxes exist. Requires ``h % _CHUNK == 0`` (the dispatcher
-    falls back to the walk kernel otherwise).
+    or not tall boxes exist. Whole chunks are guaranteed by ``_fold_fm``'s
+    H padding (``_pad_h``), not by any dispatcher fallback.
     """
     b = pl.program_id(0)
     p_total = out_ref.shape[2]

@@ -1,5 +1,6 @@
-"""Training/eval/serving entry points (lazy re-exports — importing this
-package must stay free of jax/flax import cost for CLI --help paths)."""
+"""Training/eval/serving entry points (lazy re-exports)."""
+
+from ..utils.lazy import make_lazy_getattr
 
 _EXPORTS = {
     "fit": ("trainer", "fit"),
@@ -9,13 +10,4 @@ _EXPORTS = {
 }
 
 __all__ = list(_EXPORTS)
-
-
-def __getattr__(name):
-    try:
-        mod, attr = _EXPORTS[name]
-    except KeyError:
-        raise AttributeError(name) from None
-    import importlib
-
-    return getattr(importlib.import_module(f".{mod}", __name__), attr)
+__getattr__ = make_lazy_getattr(_EXPORTS, __name__)

@@ -111,7 +111,7 @@ def predict_pages(
                 os.path.join(out_dir, f"{ids[i]}.csv"),
                 rows,
                 delimiter=",",
-                fmt="%.4f",
+                fmt=["%.4f"] * 4 + ["%d"] + ["%.4f"] * n_classes,
                 header=header,
                 comments="",
             )
@@ -120,15 +120,14 @@ def predict_pages(
             # Task-level retrieval pick (reference train.py:144-153, k=1):
             # per non-BG class, the valid box with the highest class logit.
             col = np.where(mask[:, None], logits[i], -np.inf)  # [P', C]
-            for c in range(1, n_classes):
-                if not mask.any():
-                    continue
-                j = int(np.argmax(col[:, c]))
-                retrieval_rows.append(
-                    f"{ids[i]},{class_names[c]},{j},"
-                    + ",".join(f"{v:.4f}" for v in xywh[j])
-                    + f",{probs[i][j, c]:.4f}"
-                )
+            if mask.any():
+                for c in range(1, n_classes):
+                    j = int(np.argmax(col[:, c]))
+                    retrieval_rows.append(
+                        f"{ids[i]},{class_names[c]},{j},"
+                        + ",".join(f"{v:.4f}" for v in xywh[j])
+                        + f",{probs[i][j, c]:.4f}"
+                    )
             n_done += 1
     return _finish(
         out_dir, retrieval_rows, n_done, n_boxes, counts, class_names

@@ -26,6 +26,7 @@ sys.path.insert(0, "/root/repo")
 from cova_tpu.ops.roi_pool_pallas import (  # noqa: E402
     _bwd_vmem_bytes,
     _fwd_vmem_bytes,
+    _pad_h,
     _pick_cb,
     roi_pool_pallas,
 )
@@ -70,12 +71,18 @@ boxes = jnp.asarray(
 mask = jnp.asarray(np.ones((B, P), bool))
 print(f"mix={MIX} roi_fwd={__import__('os').environ.get('COVA_ROI_FWD', 'walk')}")
 
-cb_f = _pick_cb(C, lambda cb: _fwd_vmem_bytes(HW, HW, cb, P, 9, 2, B, C))
-cb_b = _pick_cb(C, lambda cb: _bwd_vmem_bytes(HW, HW, cb, P, 9, 2))
+# Mirror the impl's actual picks: padded H and the ranged scratch term
+# (the header must describe the config the measured kernel compiles with).
+_ranged = __import__("os").environ.get("COVA_ROI_FWD", "walk") == "ranged"
+_hp = _pad_h(HW)
+cb_f = _pick_cb(
+    C, lambda cb: _fwd_vmem_bytes(_hp, HW, cb, P, 9, 2, B, C, ranged=_ranged)
+)
+cb_b = _pick_cb(C, lambda cb: _bwd_vmem_bytes(_hp, HW, cb, P, 9, 2))
 print(
     f"B={B} C={C} HW={HW} P={P}: fwd cb={cb_f} "
-    f"({_fwd_vmem_bytes(HW, HW, cb_f, P, 9, 2, B, C) / 1e6:.1f} MB), "
-    f"bwd cb={cb_b} ({_bwd_vmem_bytes(HW, HW, cb_b, P, 9, 2) / 1e6:.1f} MB)"
+    f"({_fwd_vmem_bytes(_hp, HW, cb_f, P, 9, 2, B, C, ranged=_ranged) / 1e6:.1f} MB), "
+    f"bwd cb={cb_b} ({_bwd_vmem_bytes(_hp, HW, cb_b, P, 9, 2) / 1e6:.1f} MB)"
 )
 
 

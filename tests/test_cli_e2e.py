@@ -180,3 +180,28 @@ def test_predict_standalone(trained, tmp_path):
         assert parts[1] in {"Price", "Title", "Image"}
         assert 0 <= int(parts[2]) < 232
         assert 0.0 <= float(parts[7]) <= 1.0
+
+
+def test_predict_page_ids_without_splits(trained, tmp_path):
+    """--page_ids serves arbitrary on-disk pages with no splits/ tree and
+    no fold datasets loaded (the deploy-box path)."""
+    from cova_tpu.data.synthetic import materialize
+
+    ds = str(tmp_path / "ds")
+    materialize(ds, 2, 64, seed=11)
+    out = str(tmp_path / "preds")
+    rc = main([
+        "predict", "--data_dir", ds, "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
+        "--compute_dtype", "float32", "--output_dir", trained,
+        "-nw", "2", "--page_ids", "0", "1", "--out_dir", out,
+    ])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["0.csv", "1.csv", "retrieval.csv"]
+    rows = np.atleast_2d(
+        np.loadtxt(os.path.join(out, "0.csv"), delimiter=",", skiprows=1)
+    )
+    assert rows.shape[1] == 9
+    # pred column is written as an integer literal
+    first = open(os.path.join(out, "0.csv")).readlines()[1].split(",")[4]
+    assert first == str(int(first))
