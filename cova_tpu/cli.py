@@ -414,9 +414,18 @@ def cmd_predict(args) -> int:
     out_dir = args.out_dir or os.path.join(
         cfg.results_dir, f"Fold-{cfg.cv_fold} predictions"
     )
+    img_dir = None
+    if args.render:
+        if args.synthetic:
+            raise SystemExit(
+                "--render needs on-disk screenshots (<data_dir>/imgs); "
+                "synthetic pages have none"
+            )
+        img_dir = os.path.join(cfg.data_dir, "imgs")
     summary = predict_pages(
         state, pipeline, out_dir, CLASS_NAMES,
         max_pages=args.max_pages, box_buckets=cfg.box_buckets,
+        img_dir=img_dir,
     )
     print(f"Predictions for {summary['pages']} pages saved in {out_dir}")
     print(json.dumps(summary))
@@ -605,6 +614,10 @@ def main(argv: Optional[list] = None) -> int:
         "--out_dir", type=str, default=None,
         help="output dir (default: <results_dir>/Fold-<k> predictions)")
     sub.choices["predict"].add_argument("--max_pages", type=int, default=None)
+    sub.choices["predict"].add_argument(
+        "--render", action="store_true",
+        help="also render <page_id>_pred.png overlays of the retrieval "
+             "picks (requires on-disk screenshots)")
     sub.choices["visualize"].add_argument("--no_render", action="store_true")
     sub.choices["visualize"].add_argument("--max_pages", type=int, default=None)
     sub.choices["sweep"].add_argument(

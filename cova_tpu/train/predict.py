@@ -53,10 +53,15 @@ def predict_pages(
     class_names: Sequence[str],
     max_pages: Optional[int] = None,
     box_buckets: Sequence[int] = (),
+    img_dir: Optional[str] = None,
 ) -> dict:
     """Run inference over every page in ``pipeline`` (an eval-style
     pipeline: no shuffle, sampling_fraction=1), writing
     ``<out_dir>/<page_id>.csv`` per page.
+
+    ``img_dir``: when set (a directory of ``<page_id>.png`` screenshots),
+    also render ``<out_dir>/<page_id>_pred.png`` — the page with its
+    retrieval picks boxed and scored (``utils.visualize``).
 
     Returns a summary dict: ``pages``, ``boxes``, and per-class predicted
     box counts (keyed by class name).
@@ -120,14 +125,28 @@ def predict_pages(
             # Task-level retrieval pick (reference train.py:144-153, k=1):
             # per non-BG class, the valid box with the highest class logit.
             col = np.where(mask[:, None], logits[i], -np.inf)  # [P', C]
+            picks = []
             if mask.any():
                 for c in range(1, n_classes):
                     j = int(np.argmax(col[:, c]))
+                    picks.append((
+                        class_names[c],
+                        *(float(v) for v in xywh[j]),
+                        float(probs[i][j, c]),
+                    ))
                     retrieval_rows.append(
                         f"{ids[i]},{class_names[c]},{j},"
                         + ",".join(f"{v:.4f}" for v in xywh[j])
                         + f",{probs[i][j, c]:.4f}"
                     )
+            if img_dir is not None and picks:
+                from ..utils.visualize import visualize_predictions
+
+                visualize_predictions(
+                    os.path.join(img_dir, f"{ids[i]}.png"),
+                    picks,
+                    os.path.join(out_dir, f"{ids[i]}_pred.png"),
+                )
             n_done += 1
     return _finish(
         out_dir, retrieval_rows, n_done, n_boxes, counts, class_names

@@ -81,3 +81,41 @@ def visualize_bbox(img_path: str, attn_wt_file: str, img_save_dir: str):
             pad_inches=0,
         )
         plt.close()
+
+
+PRED_COLORS = {"Price": "#fa4772", "Title": "#1e88e5", "Image": "#43a047"}
+
+
+def visualize_predictions(img_path: str, picks, out_path: str):
+    """Render one overlay PNG with a page's task-level retrieval picks
+    (``cova predict``'s serving artifact — no reference equivalent; its
+    closest is the attention overlay above).
+
+    picks: iterable of ``(class_name, x, y, w, h, score)`` rows — one per
+    non-BG class, as written to ``retrieval.csv``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = Image.open(img_path).convert("RGB")
+    plt.rcParams.update({"font.size": 6})
+    plt.imshow(img)
+    plt.title("Predicted boxes")
+    ax = plt.gca()
+    for cls, x, y, w, h, score in picks:
+        color = PRED_COLORS.get(cls, "#757575")
+        ax.add_patch(
+            plt.Rectangle(
+                (x, y), w, h, fill=False, edgecolor=color, linewidth=1.5,
+            )
+        )
+        ax.text(
+            x, max(y - 2.0, 0.0), f"{cls} {score:.2f}",
+            color=color, fontsize=6,
+        )
+    plt.axis("off")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=300, bbox_inches="tight", pad_inches=0)
+    plt.close()

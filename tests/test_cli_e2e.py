@@ -195,9 +195,12 @@ def test_predict_page_ids_without_splits(trained, tmp_path):
         "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
         "--compute_dtype", "float32", "--output_dir", trained,
         "-nw", "2", "--page_ids", "0", "1", "--out_dir", out,
+        "--render",
     ])
     assert rc == 0
-    assert sorted(os.listdir(out)) == ["0.csv", "1.csv", "retrieval.csv"]
+    assert sorted(os.listdir(out)) == [
+        "0.csv", "0_pred.png", "1.csv", "1_pred.png", "retrieval.csv",
+    ]
     rows = np.atleast_2d(
         np.loadtxt(os.path.join(out, "0.csv"), delimiter=",", skiprows=1)
     )
