@@ -36,3 +36,4 @@ run roi_real_ranged   env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8
 run roi_tall_walk     python scripts/bench_roi_pool.py 8 64 320 tall
 run roi_tall_ranged   env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 tall
 run bench_ranged      env COVA_ROI_FWD=ranged python bench.py
+run infer_ranged      env COVA_ROI_FWD=ranged python -m cova_tpu.cli bench --mode infer --batch_size_bench 32
