@@ -37,3 +37,6 @@ run roi_tall_walk     python scripts/bench_roi_pool.py 8 64 320 tall
 run roi_tall_ranged   env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 tall
 run bench_ranged      env COVA_ROI_FWD=ranged python bench.py
 run infer_ranged      env COVA_ROI_FWD=ranged python -m cova_tpu.cli bench --mode infer --batch_size_bench 32
+# Stretch config (2560px, B=2): round-2 measured 78.0 ms/step before the
+# W-packed layer1 landed — re-measure post-packing.
+run stretch           env COVA_BENCH_IMG=2560 COVA_BENCH_BATCH=2 python bench.py
