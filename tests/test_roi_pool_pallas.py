@@ -257,3 +257,25 @@ def test_h_not_chunk_divisible_is_padded(impl, monkeypatch):
     d_pallas = np.asarray(jax.grad(loss_pallas)(fmj))
     d_xla = np.asarray(jax.grad(loss_xla)(fmj))
     np.testing.assert_allclose(d_pallas, d_xla, rtol=1e-5, atol=1e-5)
+
+
+def test_pick_cb_ranged_scratch_term():
+    """The ranged variant's f32 pyramid scratch (~3.9 MB at flagship) must
+    not demote the flagship cb=64 pick, and must be accounted at the
+    stretch geometry (where it is ~7.9 MB on top of an already-tight
+    budget)."""
+    from cova_tpu.ops.roi_pool_pallas import _fwd_vmem_bytes, _pick_cb
+
+    pick = lambda hw, b: _pick_cb(  # noqa: E731
+        64,
+        lambda cb: _fwd_vmem_bytes(hw, hw, cb, 232, 9, 2, b, 64,
+                                   ranged=True),
+    )
+    assert pick(320, 8) == 64
+    assert pick(320, 32) == 64
+    # ranged term grows the stretch footprint; must demote, not overflow
+    assert pick(640, 2) in (16, 32)
+    for hw, b in ((320, 8), (640, 2)):
+        walk = _fwd_vmem_bytes(hw, hw, 64, 232, 9, 2, b, 64)
+        ranged = _fwd_vmem_bytes(hw, hw, 64, 232, 9, 2, b, 64, ranged=True)
+        assert ranged - walk == (hw // 8) * 64 * (((hw + 127) // 128) * 128) * 4
