@@ -321,7 +321,27 @@ def cmd_train(args) -> int:
     return 0
 
 
-def _restore_best(cfg, state):
+def _restore_best(cfg, state, torch_model=None):
+    """Restore the fold's best orbax checkpoint — or, with ``torch_model``,
+    serve a TRAINED REFERENCE checkpoint directly: the reference saves
+    ``model.state_dict()`` (``/root/reference/train.py:84``), which
+    ``port_cova_state_dict`` converts to our Flax trees (validated
+    end-to-end to ~1e-3 in tests/test_torch_parity.py)."""
+    if torch_model:
+        import torch
+
+        from .utils.torch_port import port_cova_state_dict
+
+        sd = torch.load(torch_model, map_location="cpu")
+        params, stats = port_cova_state_dict(
+            sd,
+            use_context=cfg.context_size > 0,
+            bbox_hidden_dim=cfg.bbox_hidden_dim,
+            n_additional_feat=cfg.n_additional_feat,
+            roi=cfg.roi,
+        )
+        print(f"Serving ported reference checkpoint: {torch_model}")
+        return state.replace(params=params, batch_stats=stats)
     from .utils.checkpoint import CheckpointManager, restore_train_state
 
     ckpt = CheckpointManager(cfg.ckpt_dir())
@@ -341,7 +361,9 @@ def cmd_eval(args) -> int:
         cfg, args
     )
     cfg, model, state, _, _, test_p = _build(cfg, train_ds, val_ds, test_ds)
-    state = _restore_best(cfg, state)
+    state = _restore_best(
+        cfg, state, torch_model=getattr(args, "torch_model", None)
+    )
     # Standalone re-eval writes to CWD like the reference (evaluate.py:175-183)
     log_file = f"Fold-{cfg.cv_fold} test_acc_classwise.txt"
     class_acc, macro_acc = evaluate(
@@ -403,13 +425,17 @@ def cmd_predict(args) -> int:
         state = create_train_state(
             model, cfg, example, jax.random.PRNGKey(cfg.seed)
         )
-        state = _restore_best(cfg, state)
+        state = _restore_best(
+        cfg, state, torch_model=getattr(args, "torch_model", None)
+    )
     else:
         train_ds, val_ds, test_ds, _, _ = _load_datasets(cfg, args)
         cfg, model, state, _, _, test_p = _build(
             cfg, train_ds, val_ds, test_ds
         )
-        state = _restore_best(cfg, state)
+        state = _restore_best(
+        cfg, state, torch_model=getattr(args, "torch_model", None)
+    )
         pipeline = test_p
     out_dir = args.out_dir or os.path.join(
         cfg.results_dir, f"Fold-{cfg.cv_fold} predictions"
@@ -441,7 +467,9 @@ def cmd_visualize(args) -> int:
     )
     train_ds, val_ds, test_ds, _, _ = _load_datasets(cfg, args)
     cfg, model, state, _, _, test_p = _build(cfg, train_ds, val_ds, test_ds)
-    state = _restore_best(cfg, state)
+    state = _restore_best(
+        cfg, state, torch_model=getattr(args, "torch_model", None)
+    )
     out_dir = os.path.join(
         cfg.results_dir, f"Fold-{cfg.cv_fold} attention visualization"
     )
@@ -602,6 +630,12 @@ def main(argv: Optional[list] = None) -> int:
         p = sub.add_parser(name)
         _add_common_flags(p)
         p.set_defaults(fn=fn)
+    for name in ("eval", "predict", "visualize"):
+        sub.choices[name].add_argument(
+            "--torch_model", default=None, metavar="PATH.pth",
+            help="serve a trained REFERENCE checkpoint (model.state_dict() "
+                 "as saved by reference train.py:84) instead of an orbax "
+                 "checkpoint — ported via utils.torch_port")
     sub.choices["eval"].add_argument(
         "--top_k", type=int, default=1,
         help="retrieval depth k of evaluate_model (reference "

@@ -6,6 +6,7 @@ GAT, decoder, and BN-eval semantics in one shot.
 """
 
 import jax
+import os
 import numpy as np
 import pytest
 import torch
@@ -218,3 +219,32 @@ def test_ported_attention_matches(parity_case):
     assert attn.shape == (B, P, K)
     sums = attn[:, :n_boxes].sum(-1)
     np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+
+
+def test_cli_serves_reference_checkpoint(tmp_path):
+    """`cova predict --torch_model ref.pth` serves a reference-format
+    checkpoint (model.state_dict(), reference train.py:84) with NO orbax
+    checkpoint present — the ported-serving path end-to-end through the
+    CLI."""
+    from cova_tpu.cli import main
+
+    torch.manual_seed(0)
+    ref = RefCoVA(hidden=32, bbox_hidden=8).eval()
+    pth = str(tmp_path / "saved_model.pth")
+    torch.save(ref.state_dict(), pth)
+    out = str(tmp_path / "preds")
+    rc = main([
+        "predict", "--synthetic", "12", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
+        "--compute_dtype", "float32", "-nw", "2",
+        "--output_dir", str(tmp_path / "results"),
+        "--torch_model", pth, "--out_dir", out, "--max_pages", "2",
+    ])
+    assert rc == 0
+    csvs = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert "retrieval.csv" in csvs and len(csvs) == 3
+    rows = np.atleast_2d(np.loadtxt(
+        os.path.join(out, sorted(csvs)[0]), delimiter=",", skiprows=1
+    ))
+    probs = rows[:, 5:]
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-3)
