@@ -233,10 +233,10 @@ def _fwd_kernel_ranged(
 
     def mk(c, carry):
         y0 = pl.multiple_of(c * _CHUNK, _CHUNK)
-        m1_ref[c, :, :] = jnp.max(
+        m1_ref[pl.ds(c, 1), :, :] = jnp.max(
             fm_ref[0, 0, pl.ds(y0, _CHUNK), :, :].astype(jnp.float32),
             axis=0,
-        )
+        )[None]
         return carry
 
     jax.lax.fori_loop(0, n_chunks, mk, 0)
