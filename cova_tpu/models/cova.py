@@ -15,9 +15,11 @@ batches:
 
 Differences by design (TPU): NHWC uint8 images normalized on-chip; every
 tensor is [B, P, ...] with a validity mask instead of the reference's ragged
-flat [N_total, ...]; ``spatial_scale`` is the static 1/4 instead of a dummy
-forward (``models.py:53-56``). Attention weights are always returned
-(cheap — they are an intermediate), serving ``extract_attn_wts``.
+flat [N_total, ...]; ``spatial_scale`` is the exact fm_H/img_H ratio (0.25
+at every product geometry), computed statically from traced shapes instead
+of the reference's dummy forward (``models.py:53-56``). Attention weights
+are always returned (cheap — they are an intermediate), serving
+``extract_attn_wts``.
 """
 
 from __future__ import annotations
@@ -108,7 +110,12 @@ class CoVA(nn.Module):
         x = images_u8.astype(self.compute_dtype) / 255.0  # ToTensor parity
         fm = self.convnet(x, train=train)  # [B, H/4, W/4, C]
         img_h = images_u8.shape[1] * (4 if images_u8.shape[-1] == 48 else 1)
-        stride = img_h // fm.shape[1]
+        # Exact ratio, matching the reference's dummy-forward measurement
+        # (models.py:52-56: spatial_scale = conv_H / img_H). The earlier
+        # 1/(img_h // fm_h) floor-division silently diverged whenever
+        # img_h wasn't an exact multiple of fm_h (e.g. raw RGB H=18 ->
+        # 1/3 instead of 5/18); identical (0.25) at all product geometries.
+        spatial_scale = fm.shape[1] / img_h
         impl = self.roi_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -117,7 +124,7 @@ class CoVA(nn.Module):
                 fm,
                 boxes.astype(jnp.float32),
                 box_mask,
-                1.0 / stride,
+                spatial_scale,
                 self.roi_output_size,
                 self.roi_output_size,
             )
@@ -125,7 +132,7 @@ class CoVA(nn.Module):
             pooled = roi_pool(
                 fm,
                 boxes.astype(jnp.float32),
-                spatial_scale=1.0 / stride,
+                spatial_scale=spatial_scale,
                 out_h=self.roi_output_size,
                 out_w=self.roi_output_size,
             )  # [B, P, r, r, C]

@@ -126,13 +126,16 @@ class MaskedBatchNorm(nn.Module):
             if not self.is_initializing():
                 # torch: running update uses the *unbiased* batch variance.
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
-                ra_mean.value = (
-                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                )
-                ra_var.value = (
-                    (1 - self.momentum) * ra_var.value
-                    + self.momentum * unbiased
-                )
+                # An all-padding batch (mask sum 0) has no statistics —
+                # skip the update instead of decaying the running stats
+                # toward (0, 0) (torch never sees this case: the reference
+                # has no padding).
+                upd = (
+                    jnp.float32(1.0) if mask is None
+                    else (jnp.sum(mask) > 0).astype(jnp.float32)
+                ) * self.momentum
+                ra_mean.value = (1 - upd) * ra_mean.value + upd * mean
+                ra_var.value = (1 - upd) * ra_var.value + upd * unbiased
 
         inv = jax.lax.rsqrt(var + self.eps)
         scale_eff = inv * scale.astype(jnp.float32)

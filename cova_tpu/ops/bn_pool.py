@@ -216,6 +216,10 @@ def _pick_tu(u: int, v: int = 320) -> int:
 _TU_BUDGET = 11000
 
 
+def tu_budget() -> int:
+    return _TU_BUDGET
+
+
 def shrink_tu_budget(factor: int = 2) -> int:
     global _TU_BUDGET
     _TU_BUDGET = max(1, _TU_BUDGET // factor)
@@ -249,6 +253,7 @@ def _fwd_impl(ys, scale4, shift4, tu, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        name="bn_pool_fwd",
         interpret=interpret,
     )(ys, ys, scale4.reshape(1, c4), shift4.reshape(1, c4))
 
@@ -302,6 +307,7 @@ def _bwd_impl(ys, scale4, shift4, g, tu, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        name="bn_pool_bwd",
         interpret=interpret,
     )(ys, ys, ys, g, g, scale4.reshape(1, c4), shift4.reshape(1, c4))
     return dys, dsc.sum(axis=(0, 1, 2)), dsh.sum(axis=(0, 1, 2))

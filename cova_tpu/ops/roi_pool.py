@@ -7,8 +7,8 @@ XLA formulation built for static shapes and vector units, plus a Pallas kernel
 
 Semantics are bit-compatible with ``torchvision.ops.roi_pool``:
   * box coords are scaled by ``spatial_scale`` and quantized with
-    round-half-away-from-zero (C++ ``roundf``; coords are non-negative so
-    ``floor(v + 0.5)``),
+    round-half-away-from-zero (C++ ``roundf``, on the whole domain —
+    negative coords included),
   * roi width/height use the inclusive-end convention ``end - start + 1``
     clamped to >= 1,
   * bin boundaries are ``floor(i * roi/out) .. ceil((i+1) * roi/out)`` offset
@@ -33,8 +33,14 @@ import numpy as np
 
 
 def _quantize(v: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """round-half-away for non-negative inputs, as int32."""
-    return jnp.floor(v * scale + 0.5).astype(jnp.int32)
+    """round half away from zero (torchvision's ``roundf``), as int32.
+
+    ``floor(v*scale + 0.5)`` would only match for non-negative scaled
+    coords (floor(-0.5 + 0.5) = 0 vs roundf(-0.5) = -1); box coords are
+    non-negative in the dataset, but nothing clips user-supplied boxes,
+    so match torch on the whole domain."""
+    vs = v * scale
+    return jnp.trunc(vs + jnp.where(vs >= 0, 0.5, -0.5)).astype(jnp.int32)
 
 
 def _bin_bounds(start, roi_len, out_size, limit):
@@ -165,10 +171,14 @@ def roi_pool_reference(features, boxes, *, spatial_scale, out_h=3, out_w=3):
     out = np.zeros((B, P, out_h, out_w, C), dtype=np.float32)
     for b in range(B):
         for p in range(P):
-            x1 = int(math.floor(boxes[b, p, 0] * spatial_scale + 0.5))
-            y1 = int(math.floor(boxes[b, p, 1] * spatial_scale + 0.5))
-            x2 = int(math.floor(boxes[b, p, 2] * spatial_scale + 0.5))
-            y2 = int(math.floor(boxes[b, p, 3] * spatial_scale + 0.5))
+            def q(v):  # roundf: half away from zero (matches _quantize)
+                vs = float(v) * spatial_scale
+                return int(math.trunc(vs + (0.5 if vs >= 0 else -0.5)))
+
+            x1 = q(boxes[b, p, 0])
+            y1 = q(boxes[b, p, 1])
+            x2 = q(boxes[b, p, 2])
+            y2 = q(boxes[b, p, 3])
             rw = max(x2 - x1 + 1, 1)
             rh = max(y2 - y1 + 1, 1)
             for i in range(out_h):

@@ -63,6 +63,37 @@ from .roi_pool import _bin_bounds, _quantize
 _CHUNK = 8  # rows per masked-max step
 
 
+def _unpack_bounds(bounds_s, b, p, out_h, out_w):
+    """Per-box bin bounds from the packed SMEM row (see ``_bounds``) —
+    shared by all three kernels so the packing layout has one consumer."""
+    base = p * (2 * out_h + 2 * out_w)
+    ylo = [bounds_s[b, base + i] for i in range(out_h)]
+    yhi = [bounds_s[b, base + out_h + i] for i in range(out_h)]
+    xlo = [bounds_s[b, base + 2 * out_h + j] for j in range(out_w)]
+    xhi = [bounds_s[b, base + 2 * out_h + out_w + j] for j in range(out_w)]
+    return ylo, yhi, xlo, xhi
+
+
+def _store_pooled(out_ref, p, reds, ylo, yhi, xlo, xhi, out_h, out_w):
+    """Write one box's bin reductions, zeroing empty (clipped) bins —
+    torchvision's empty-bin rule (shared by both forward kernels)."""
+    for i in range(out_h):
+        empty_y = yhi[i] <= ylo[i]
+        for j in range(out_w):
+            empty = empty_y | (xhi[j] <= xlo[j])
+            red = jnp.where(
+                empty, jnp.zeros((), jnp.float32), reds[i * out_w + j]
+            )
+            out_ref[0, 0, p, :, i * out_w + j] = red.astype(out_ref.dtype)
+
+
+def _store_zero(out_ref, p, cb, out_h, out_w):
+    zero = jnp.zeros((cb,), out_ref.dtype)
+    for k in range(out_h * out_w):
+        out_ref[0, 0, p, :, k] = zero
+
+
+
 def _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w):
     """Packed per-box bin bounds, [B, P * (2*out_h + 2*out_w)] int32.
 
@@ -97,7 +128,7 @@ def _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w):
 
 
 def _fwd_kernel(
-    bounds_s, fm_ref, out_ref, *, h, w, cb, out_h, out_w
+    bounds_s, fm_ref, out_ref, *, cb, out_h, out_w
 ):
     """fm_ref: [1, 1, h, cb, w3] VMEM (lanes padded to a 128 multiple);
     out_ref: [1, 1, p, cb, out_h*out_w]; bounds_s: packed [B, P*stride]
@@ -111,18 +142,12 @@ def _fwd_kernel(
     boxes short-circuit through ``pl.when`` to a zero write."""
     b = pl.program_id(0)
     p_total = out_ref.shape[2]
-    stride = 2 * out_h + 2 * out_w
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     neg = jnp.asarray(-jnp.inf, jnp.float32)
 
     def per_box(p, carry):
-        base = p * stride
-        ylo = [bounds_s[b, base + i] for i in range(out_h)]
-        yhi = [bounds_s[b, base + out_h + i] for i in range(out_h)]
-        xlo = [bounds_s[b, base + 2 * out_h + j] for j in range(out_w)]
-        xhi = [bounds_s[b, base + 2 * out_h + out_w + j]
-               for j in range(out_w)]
+        ylo, yhi, xlo, xhi = _unpack_bounds(bounds_s, b, p, out_h, out_w)
         valid = yhi[out_h - 1] > ylo[0]
 
         @pl.when(valid)
@@ -174,24 +199,13 @@ def _fwd_kernel(
                 tuple(jnp.full((cb,), neg, jnp.float32)
                       for _k in range(out_h * out_w)),
             )
-            for i in range(out_h):
-                empty_y = yhi[i] <= ylo[i]
-                for j in range(out_w):
-                    empty = empty_y | (xhi[j] <= xlo[j])
-                    red = jnp.where(
-                        empty,
-                        jnp.zeros((), jnp.float32),
-                        reds[i * out_w + j],
-                    )
-                    out_ref[0, 0, p, :, i * out_w + j] = red.astype(
-                        out_ref.dtype
-                    )
+            _store_pooled(
+                out_ref, p, reds, ylo, yhi, xlo, xhi, out_h, out_w
+            )
 
         @pl.when(jnp.logical_not(valid))
         def _():
-            zero = jnp.zeros((cb,), out_ref.dtype)
-            for k in range(out_h * out_w):
-                out_ref[0, 0, p, :, k] = zero
+            _store_zero(out_ref, p, cb, out_h, out_w)
 
         return carry
 
@@ -199,7 +213,7 @@ def _fwd_kernel(
 
 
 def _fwd_kernel_ranged(
-    bounds_s, fm_ref, out_ref, m1_ref, *, h, w, cb, out_h, out_w
+    bounds_s, fm_ref, out_ref, m1_ref, *, h, cb, out_h, out_w
 ):
     """Ranged-walk forward variant (``COVA_ROI_FWD=ranged``): per-program
     chunk-max pyramid + per-bin-row range decomposition.
@@ -225,7 +239,6 @@ def _fwd_kernel_ranged(
     """
     b = pl.program_id(0)
     p_total = out_ref.shape[2]
-    stride = 2 * out_h + 2 * out_w
     n_chunks = h // _CHUNK
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -242,12 +255,7 @@ def _fwd_kernel_ranged(
     jax.lax.fori_loop(0, n_chunks, mk, 0)
 
     def per_box(p, carry):
-        base = p * stride
-        ylo = [bounds_s[b, base + i] for i in range(out_h)]
-        yhi = [bounds_s[b, base + out_h + i] for i in range(out_h)]
-        xlo = [bounds_s[b, base + 2 * out_h + j] for j in range(out_w)]
-        xhi = [bounds_s[b, base + 2 * out_h + out_w + j]
-               for j in range(out_w)]
+        ylo, yhi, xlo, xhi = _unpack_bounds(bounds_s, b, p, out_h, out_w)
         valid = yhi[out_h - 1] > ylo[0]
 
         @pl.when(valid)
@@ -294,24 +302,13 @@ def _fwd_kernel_ranged(
                 tuple(jnp.full((cb,), neg, jnp.float32)
                       for _k in range(out_h * out_w)),
             )
-            for i in range(out_h):
-                empty_y = yhi[i] <= ylo[i]
-                for j in range(out_w):
-                    empty = empty_y | (xhi[j] <= xlo[j])
-                    red = jnp.where(
-                        empty,
-                        jnp.zeros((), jnp.float32),
-                        reds[i * out_w + j],
-                    )
-                    out_ref[0, 0, p, :, i * out_w + j] = red.astype(
-                        out_ref.dtype
-                    )
+            _store_pooled(
+                out_ref, p, reds, ylo, yhi, xlo, xhi, out_h, out_w
+            )
 
         @pl.when(jnp.logical_not(valid))
         def _():
-            zero = jnp.zeros((cb,), out_ref.dtype)
-            for k in range(out_h * out_w):
-                out_ref[0, 0, p, :, k] = zero
+            _store_zero(out_ref, p, cb, out_h, out_w)
 
         return carry
 
@@ -320,7 +317,7 @@ def _fwd_kernel_ranged(
 
 def _bwd_kernel(
     bounds_s, fm_ref, out_ref, g_ref, dfm_ref,
-    *, h, w, cb, out_h, out_w
+    *, h, cb, out_h, out_w
 ):
     """Scatter g where fm equals the pooled max inside each bin.
 
@@ -330,7 +327,6 @@ def _bwd_kernel(
     lane width. Padded boxes skip entirely (their dfm stays zero)."""
     b = pl.program_id(0)
     p_total = g_ref.shape[2]
-    stride = 2 * out_h + 2 * out_w
     w3 = dfm_ref.shape[-1]
     dfm_ref[0, 0, :, :, :] = jnp.zeros((h, cb, w3), dfm_ref.dtype)
     row_y = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
@@ -342,12 +338,7 @@ def _bwd_kernel(
     big = jnp.asarray(jnp.inf, jnp.float32)
 
     def per_box(p, carry):
-        base = p * stride
-        ylo = [bounds_s[b, base + i] for i in range(out_h)]
-        yhi = [bounds_s[b, base + out_h + i] for i in range(out_h)]
-        xlo = [bounds_s[b, base + 2 * out_h + j] for j in range(out_w)]
-        xhi = [bounds_s[b, base + 2 * out_h + out_w + j]
-               for j in range(out_w)]
+        ylo, yhi, xlo, xhi = _unpack_bounds(bounds_s, b, p, out_h, out_w)
         valid = yhi[out_h - 1] > ylo[0]
 
         @pl.when(valid)
@@ -570,7 +561,14 @@ def _pick_cb(c: int, bytes_at) -> int:
 
     forced = os.environ.get("COVA_ROI_CB")
     if forced:
-        return int(forced)
+        cb = int(forced)
+        if cb < 1 or c % cb != 0:
+            raise ValueError(
+                f"COVA_ROI_CB={cb} must be a positive divisor of the "
+                f"channel count {c} (the fold step reshapes C into "
+                f"C//cb blocks)"
+            )
+        return cb
     for cb in (64, 32, 16, 8, 4, 2, 1):
         if c % cb != 0 or cb > c:
             continue
@@ -579,7 +577,7 @@ def _pick_cb(c: int, bytes_at) -> int:
     return 1
 
 
-def _specs(b, p, h, w, cb, out_h, out_w, n_io: int):
+def _specs(b, p, h, w, cb, out_h, out_w):
     fm_spec = pl.BlockSpec(
         (1, 1, h, cb, _lanes(w)),
         lambda bi, ci, *_: (bi, ci, 0, 0, 0),
@@ -613,7 +611,7 @@ def _roi_pool_fwd_impl(
     )
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
-    fm_spec, out_spec = _specs(b, p, hp, w, cb, out_h, out_w, 1)
+    fm_spec, out_spec = _specs(b, p, hp, w, cb, out_h, out_w)
     kernel = _fwd_kernel_ranged if ranged else _fwd_kernel
     scratch = (
         [pltpu.VMEM((hp // _CHUNK, cb, _lanes(w)), jnp.float32)]
@@ -621,7 +619,9 @@ def _roi_pool_fwd_impl(
     )
     out_t = pl.pallas_call(
         functools.partial(
-            kernel, h=hp, w=w, cb=cb, out_h=out_h, out_w=out_w
+            kernel,
+            cb=cb, out_h=out_h, out_w=out_w,
+            **({"h": hp} if ranged else {}),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -636,6 +636,7 @@ def _roi_pool_fwd_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        name="roi_pool_fwd_ranged" if ranged else "roi_pool_fwd",
         interpret=interpret,
     )(bounds, _fold_fm(fm, cb))
     return _unfold_out(out_t, b, p, out_h, out_w, n_cb, cb)
@@ -655,10 +656,10 @@ def _roi_pool_bwd_impl(
     )
     n_cb = c // cb
     bounds = _bounds(boxes, box_mask, spatial_scale, out_h, out_w, h, w)
-    fm_spec, out_spec = _specs(b, p, hp, w, cb, out_h, out_w, 3)
+    fm_spec, out_spec = _specs(b, p, hp, w, cb, out_h, out_w)
     dfm_t = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, h=hp, w=w, cb=cb, out_h=out_h, out_w=out_w
+            _bwd_kernel, h=hp, cb=cb, out_h=out_h, out_w=out_w
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -672,6 +673,7 @@ def _roi_pool_bwd_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        name="roi_pool_bwd",
         interpret=interpret,
     )(
         bounds,

@@ -48,15 +48,30 @@ def with_vmem_fallback(
     VMEM compile OOM, shrink the kernel budgets, clear the jit caches, and
     retry — up to ``max_retries`` times, then re-raise.
 
-    ``_shrink``: test hook; defaults to shrinking both kernel budgets.
+    ``_shrink``: test hook; the default attributes the OOM to a kernel by
+    the ``name=`` each pallas_call carries ("roi_pool_*" / "bn_pool_*" in
+    the Mosaic error text) and shrinks only the implicated budget — an
+    unattributable message shrinks both (the always-correct fallback),
+    so a bn_pool OOM no longer demotes the RoI kernel's channel block for
+    the rest of the process (and vice versa).
     """
     import jax
 
     from . import bn_pool, roi_pool_pallas
 
-    def default_shrink():
-        cb_budget = roi_pool_pallas.shrink_vmem_budget()
-        tu_budget = bn_pool.shrink_tu_budget()
+    def default_shrink(err_text: str = ""):
+        hit_roi = "roi_pool" in err_text
+        hit_bn = "bn_pool" in err_text
+        if not (hit_roi or hit_bn):
+            hit_roi = hit_bn = True
+        cb_budget = (
+            roi_pool_pallas.shrink_vmem_budget()
+            if hit_roi else roi_pool_pallas.vmem_budget()
+        )
+        tu_budget = (
+            bn_pool.shrink_tu_budget()
+            if hit_bn else bn_pool.tu_budget()
+        )
         return cb_budget, tu_budget
 
     shrink = _shrink or default_shrink
@@ -66,7 +81,10 @@ def with_vmem_fallback(
         except Exception as e:  # noqa: BLE001 — filtered by is_vmem_oom
             if not is_vmem_oom(e) or attempt == max_retries:
                 raise
-            budgets = shrink()
+            try:
+                budgets = shrink(f"{e}".lower())
+            except TypeError:  # zero-arg test hooks
+                budgets = shrink()
             print(
                 f"VMEM compile OOM ({type(e).__name__}); shrinking kernel "
                 f"budgets to {budgets} and recompiling "
