@@ -23,9 +23,22 @@ from .records import PageRecord
 
 def _load_csv(path: str) -> np.ndarray:
     arr = np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.float32)
+    if arr.size == 0:  # header-only CSV: zero boxes, not a (1, 0) row
+        return arr.reshape(0, 5)
     if arr.ndim == 1:  # single-row CSVs
         arr = arr[None, :]
     return arr
+
+
+def _pad_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    """Zero-pad bottom/right or crop to [size, size, 3] — the native
+    decoder's convention (``native/cova_native.cpp:26-27``)."""
+    h, w = arr.shape[:2]
+    if h == size and w == size:
+        return arr
+    out = np.zeros((size, size, 3), np.uint8)
+    out[: min(h, size), : min(w, size)] = arr[:size, :size]
+    return out
 
 
 class WebDataset:
@@ -60,10 +73,10 @@ class WebDataset:
         self.decode_cache_dir = decode_cache_dir or os.environ.get(
             "COVA_DECODE_CACHE"
         )
+        # Both decode paths now emit the same geometry (native pad/crop ==
+        # _pad_crop), so the size tag no longer depends on which is built.
         self._raw_cache = self.decode_cache(
-            f"raw-{img_size}"
-            if (self.use_native and img_size is not None)
-            else "raw-orig"
+            f"raw-{img_size}" if img_size is not None else "raw-orig"
         )
         self.img_paths = [
             os.path.join(root, "imgs", f"{i}.png") for i in self.ids
@@ -144,6 +157,11 @@ class WebDataset:
         else:
             with Image.open(self.img_paths[index]) as im:
                 arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            if self.img_size is not None:
+                # Match the native path's geometry exactly (zero-pad /
+                # crop to img_size x img_size, no resampling) so model
+                # inputs don't depend on whether libcova_native is built.
+                arr = _pad_crop(arr, self.img_size)
         if self._raw_cache is not None:
             self._raw_cache.put(
                 self.ids[index], arr, self.img_paths[index]
@@ -168,7 +186,11 @@ def load_fold_ids(fold_dir: str):
     info_path = os.path.join(fold_dir, "webpage_info.csv")
     webpage_info = None
     if os.path.isfile(info_path):
-        webpage_info = np.loadtxt(info_path, str, delimiter=",", skiprows=1)
+        # atleast_2d: a single-data-row CSV loads as shape (2,) and would
+        # crash reporting's webpage_info[:, 1] column indexing.
+        webpage_info = np.atleast_2d(
+            np.loadtxt(info_path, str, delimiter=",", skiprows=1)
+        )
 
     dom_path = os.path.join(fold_dir, "test_domains.txt")
     test_domains = None

@@ -148,10 +148,25 @@ def run_eval(
     flush(buf)
 
     for group, correct in pending:
+        if isinstance(correct, jax.Array) and not correct.is_fully_addressable:
+            # Multi-host mesh with eval_batch_size % dp == 0: the chunk
+            # output stays batch-sharded across hosts; np.asarray cannot
+            # read non-addressable shards — gather the global value first
+            # (tiny: [G, B, C-1] bools).
+            from jax.experimental import multihost_utils
+
+            correct = multihost_utils.process_allgather(
+                correct, tiled=True
+            )
         c_np = np.asarray(correct).astype(np.int32)  # [G, B, C-1]
         for g, (ids, b) in enumerate(group):
             for i, page_id in enumerate(ids[:b]):
                 rows.append([int(page_id)] + list(c_np[g, i]))
+    if not rows:
+        raise ValueError(
+            f"{split_name} split is empty — check the fold dir / split "
+            "files (evaluating zero pages has no defined accuracy)"
+        )
     img_acc = np.array(rows, dtype=np.int32)
     class_acc = np.zeros(n_classes)
     class_acc[1:] = img_acc[:, 1:].mean(0) * 100
@@ -192,7 +207,6 @@ def fit(
     batch inside one XLA program).
     """
     metrics = metrics or MetricsLogger(None)
-    rng = jax.random.PRNGKey(cfg.seed)
     best_eval_acc = 0.0
     patience_count = 0
     start_epoch = 1
@@ -252,6 +266,11 @@ def fit(
     # NEW shape — not just the first dispatch overall.
     compiled_shapes: set = set()
     for epoch in range(start_epoch, cfg.n_epochs + 1):
+        # Per-epoch dropout stream keyed by (seed, epoch), not by a key
+        # chain threaded across epochs: a --resume run then continues the
+        # exact stream the uninterrupted run would have used (the old
+        # chain restarted at PRNGKey(seed), replaying epoch 1's masks).
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
             profiling = True
@@ -354,6 +373,15 @@ def fit(
     print("Model Trained! Restoring model to best Eval performance checkpoint...")
     if ckpt.exists("best"):
         state, _ = restore_train_state(ckpt, "best", state)
+        # restore returns host numpy: re-place once (mesh shardings, or a
+        # committed single-device copy) so the following test eval doesn't
+        # re-upload the whole params tree on every chunk dispatch.
+        if mesh is not None:
+            from ..parallel.mesh import shard_train_state
+
+            state = shard_train_state(state, mesh)
+        else:
+            state = jax.device_put(state)
     else:
         # Degenerate case: val accuracy never exceeded 0.0, so no "best" was
         # written (the reference would NameError here, train.py:83-86). Save

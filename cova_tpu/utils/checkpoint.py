@@ -58,7 +58,10 @@ class CheckpointManager:
     def restore(self, tag: str, target: Optional[Any] = None) -> Any:
         path = self._path(tag)
         if target is not None:
-            target = jax.tree.map(np.asarray, target)
+            # _fetch, not np.asarray: a multi-host tensor-sharded target
+            # (pod run with --model_parallel) has partially-addressable
+            # leaves that np.asarray cannot read (same guard as save).
+            target = jax.tree.map(_fetch, target)
         return self._ckptr.restore(path, target)
 
     def exists(self, tag: str) -> bool:

@@ -208,3 +208,29 @@ def test_predict_page_ids_without_splits(trained, tmp_path):
     # pred column is written as an integer literal
     first = open(os.path.join(out, "0.csv")).readlines()[1].split(",")[4]
     assert first == str(int(first))
+
+
+def test_resume_continues_exact_stream(tmp_path):
+    """A 2-epoch run resumed to 3 must produce EXACTLY the uninterrupted
+    3-epoch run's epoch-3 line: the dropout stream is keyed by
+    (seed, epoch), not a chain that --resume would replay from epoch 1."""
+    base = [
+        "train", "--synthetic", "16", "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8",
+        "--compute_dtype", "float32", "-nw", "2",
+    ]
+    full = str(tmp_path / "full")
+    assert main(base + ["-e", "3", "--output_dir", full]) == 0
+    part = str(tmp_path / "part")
+    assert main(base + ["-e", "2", "--output_dir", part]) == 0
+    assert main(base + ["-e", "3", "--output_dir", part, "--resume"]) == 0
+
+    def epoch_lines(out):
+        rd = _results_dir(out)
+        log = open(os.path.join(rd, "Fold-1 logs.txt")).read()
+        return re.findall(r"Epoch:\s*3\s+Loss: [\d.]+\s+Accuracy: [\d.]+%",
+                          log)
+
+    (want,) = epoch_lines(full)
+    got = epoch_lines(part)
+    assert got and got[-1] == want

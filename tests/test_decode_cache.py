@@ -110,18 +110,25 @@ def test_entry_mtime_copied_from_source(tmp_path):
     assert ds._raw_cache.get(ids[0], ds.img_paths[0]) is not None
 
 
-def test_pil_and_native_raw_tags_distinct(tmp_path):
-    """The PIL fallback keeps original dimensions while the native path
-    resizes to img_size — their cache tags must differ so one can't
-    poison the other."""
+def test_pil_and_native_paths_share_geometry_and_tag(tmp_path):
+    """The PIL fallback now pads/crops to img_size exactly like the native
+    decoder (dataset._pad_crop mirrors cova_native.cpp:26-27), so model
+    inputs don't depend on whether libcova_native is built — same pixels,
+    same size-keyed cache tag."""
+    from cova_tpu.data import native_loader
+
     data, ids = _mk_data(tmp_path, n=1)
     cache = str(tmp_path / "cache")
-    pil_ds = WebDataset(data, ids, img_size=32, use_native=False,
+    pil_ds = WebDataset(data, ids, img_size=48, use_native=False,
                         decode_cache_dir=cache)
-    pil_ds.image(0)
+    img_pil = pil_ds.image(0)
+    assert img_pil.shape == (48, 48, 3)  # padded/cropped from 32px source
     entries = _entries(cache)
     assert len(entries) == 1
-    assert os.path.basename(entries[0]) == f"{ids[0]}.raw-orig.npy"
+    assert os.path.basename(entries[0]) == f"{ids[0]}.raw-48.npy"
+    if native_loader.available():
+        nat_ds = WebDataset(data, ids, img_size=48, use_native=True)
+        np.testing.assert_array_equal(img_pil, nat_ds.image(0))
 
 
 def test_shared_cache_dir_isolates_datasets(tmp_path):
