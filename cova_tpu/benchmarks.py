@@ -174,6 +174,7 @@ def run_e2e_bench(
     from .data.pipeline import DataPipeline
     from .data.synthetic import InMemoryWebDataset
     from .models.cova import build_model
+    from .ops.vmem_fallback import with_vmem_fallback
     from .train.steps import create_train_state, train_step
 
     cfg = Config(
@@ -218,6 +219,13 @@ def run_e2e_bench(
     state = create_train_state(model, cfg, example, jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
 
+    # Bucket shapes whose train_step has compiled. As in the trainer, the
+    # VMEM compile-OOM fallback wraps the FIRST dispatch of every new
+    # shape (compile errors surface before buffer donation, so the
+    # per-step retry is safe; retrying a whole epoch would not be — the
+    # captured state's buffers are donated by earlier steps).
+    compiled_shapes: set = set()
+
     def one_epoch(state, rng, epoch):
         # Mirror the trainer's dispatch exactly: pad to the static batch,
         # then slice the box dim to the padding bucket.
@@ -229,31 +237,47 @@ def run_e2e_bench(
         m = None
         for _, batch in device_prefetch(padded, size=2):
             rng, step_rng = jax.random.split(rng)
-            state, m = train_step(state, batch, step_rng)
+            shape_key = batch.boxes.shape[1]
+            if shape_key not in compiled_shapes:
+                compiled_shapes.add(shape_key)
+                state, m = with_vmem_fallback(
+                    lambda b=batch, r=step_rng: train_step(state, b, r)
+                )
+            else:
+                state, m = train_step(state, batch, step_rng)
         float(m["loss_sum"])  # sync: epoch ends when the device is done
         return state, rng
 
-    state, rng = one_epoch(state, rng, 0)  # compile + warm
-    # Pre-compile EVERY bucket shape the trainer could dispatch: a bucket
-    # can first appear in any epoch (it depends on the batch's sampled max
-    # box count), and one stray compile inside the timed window — measured
-    # 69-2211 s through the remote tunnel — would corrupt the number.
-    from .data.batching import _slice_boxes
+    try:
+        state, rng = one_epoch(state, rng, 0)  # compile + warm
+        # Pre-compile EVERY bucket shape the trainer could dispatch: a
+        # bucket can first appear in any epoch (it depends on the batch's
+        # sampled max box count), and one stray compile inside the timed
+        # window — measured 69-2211 s through the remote tunnel — would
+        # corrupt the number.
+        from .data.batching import _slice_boxes
 
-    p_full = example.boxes.shape[1]
-    for t in sorted({b for b in cfg.box_buckets if b < p_full} | {p_full}):
-        warm = _slice_boxes(example, t) if t < p_full else example
-        state, _ = train_step(
-            state, jax.device_put(warm), jax.random.PRNGKey(2)
-        )
-    t0 = time.time()
-    for e in range(1, epochs + 1):
-        state, rng = one_epoch(state, rng, e)
-    dt = (time.time() - t0) / epochs
-    e2e_pages_per_sec = n_pages / dt
-
-    if tmpdir is not None:
-        tmpdir.cleanup()
+        p_full = example.boxes.shape[1]
+        for t in sorted(
+            {b for b in cfg.box_buckets if b < p_full} | {p_full}
+        ):
+            warm = _slice_boxes(example, t) if t < p_full else example
+            compiled_shapes.add(warm.boxes.shape[1])
+            state, _ = with_vmem_fallback(
+                lambda w=warm: train_step(
+                    state, jax.device_put(w), jax.random.PRNGKey(2)
+                )
+            )
+        t0 = time.time()
+        for e in range(1, epochs + 1):
+            state, rng = one_epoch(state, rng, e)
+        dt = (time.time() - t0) / epochs
+        e2e_pages_per_sec = n_pages / dt
+    finally:
+        # Crash paths must not leak the materialized dataset (~300 MB of
+        # PNGs + decode cache under /tmp for the disk source).
+        if tmpdir is not None:
+            tmpdir.cleanup()
     compute = run_train_bench(
         batch_size=batch_size,
         img_height=img_height,
@@ -314,7 +338,22 @@ def run_infer_bench(
     batch = jax.device_put(
         bucket_batch(collate(imgs, pages), cfg.box_buckets)
     )
-    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
+    # Forward-only: model.init, not create_train_state — the optimizer's
+    # Adam moments are two extra param-sized trees of HBM a serving bench
+    # never reads.
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch.images),
+        jnp.asarray(batch.boxes),
+        jnp.asarray(batch.box_mask),
+        jnp.asarray(batch.context_indices),
+        jnp.asarray(batch.additional_feats)
+        if batch.additional_feats.shape[-1] > 0
+        else None,
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
 
     @jax.jit
     def run_steps(params, batch_stats, batch):
@@ -341,7 +380,7 @@ def run_infer_bench(
         try:
             _ = with_vmem_fallback(
                 lambda: float(
-                    run_steps(state.params, state.batch_stats, batch)
+                    run_steps(params, batch_stats, batch)
                 )
             )
             break
@@ -352,7 +391,7 @@ def run_infer_bench(
     best_dt = float("inf")
     for _ in range(windows):
         t0 = time.time()
-        _ = float(run_steps(state.params, state.batch_stats, batch))
+        _ = float(run_steps(params, batch_stats, batch))
         best_dt = min(best_dt, (time.time() - t0) / steps)
 
     pages_per_sec = batch_size / best_dt

@@ -133,18 +133,6 @@ def _load_datasets(cfg: Config, args):
             ),
         )
 
-        def subset(idxs):
-            ds = InMemoryWebDataset.__new__(InMemoryWebDataset)
-            ds.root = base.root
-            ds.ids = [base.ids[i] for i in idxs]
-            ds.all_boxes = [base.all_boxes[i] for i in idxs]
-            ds.all_labels = [base.all_labels[i] for i in idxs]
-            ds.all_additional = [base.all_additional[i] for i in idxs]
-            ds._images = [base._images[i] for i in idxs]
-            ds.n_additional_feat = base.n_additional_feat
-            ds.img_h = base.img_h
-            return ds
-
         # Synthesize a page->domain mapping (10 round-robin domains) so the
         # synthetic path exercises the full domainwise/macro reporting the
         # reference computes from webpage_info.csv (evaluate.py:48-78) —
@@ -156,7 +144,7 @@ def _load_datasets(cfg: Config, args):
             [np.array(base.ids), domains], axis=1
         )
         test_domains = np.unique(domains[np.array(splits[2], np.int32)])
-        return (*[subset(s) for s in splits], webpage_info, test_domains)
+        return (*[base.subset(s) for s in splits], webpage_info, test_domains)
 
     train_ids, val_ids, test_ids, webpage_info, test_domains = load_fold_ids(
         cfg.fold_dir
@@ -571,16 +559,25 @@ def cmd_sweep(args) -> int:
 def cmd_bench(args) -> int:
     from . import benchmarks
 
+    # `-bs` (the train flag everyone reaches for) and `--batch_size_bench`
+    # are the same knob here: bench's parser re-defaults batch_size to
+    # None so an explicit -bs is detectable; -bsb wins when both given.
+    bs = args.batch_size_bench
+    if bs is None:
+        bs = args.batch_size if args.batch_size is not None else 8
     if args.mode == "e2e":
         # Pipeline-fed sustained throughput + the compute-path ceiling in
         # one JSON line (run_e2e_bench measures both).
         result = benchmarks.run_e2e_bench(
-            batch_size=args.batch_size_bench,
+            batch_size=bs,
             n_pages=args.e2e_pages,
             epochs=args.e2e_epochs,
             img_height=args.img_height,
             compute_dtype=args.compute_dtype,
             source=args.e2e_source,
+            # None = not given -> run_e2e_bench's own default
+            # (min(8, cpus)); an explicit -nw is honored.
+            num_threads=args.num_workers or 0,
         )
     else:
         fn = (
@@ -589,7 +586,7 @@ def cmd_bench(args) -> int:
             else benchmarks.run_train_bench
         )
         result = fn(
-            batch_size=args.batch_size_bench,
+            batch_size=bs,
             steps=args.steps,
             img_height=args.img_height,
             compute_dtype=args.compute_dtype,
@@ -661,10 +658,16 @@ def main(argv: Optional[list] = None) -> int:
 
     b = sub.add_parser("bench")
     _add_common_flags(b)
+    # Sentinel defaults: an explicitly-given -bs / -nw is detectable (and
+    # honored) in cmd_bench; unset falls back to the bench's own defaults
+    # (bs=8; e2e threads=min(8, cpus)).
+    b.set_defaults(batch_size=None, num_workers=None)
     b.add_argument("--steps", type=int, default=20,
                    help="steps per timed window (train/infer modes; e2e "
                         "is epoch-timed — use --e2e_pages/--e2e_epochs)")
-    b.add_argument("--batch_size_bench", type=int, default=8)
+    b.add_argument("--batch_size_bench", "-bsb", type=int, default=None,
+                   help="bench batch size (alias: the common -bs flag; "
+                        "default 8)")
     b.add_argument("--e2e_pages", type=int, default=64,
                    help="e2e mode: synthetic pages per epoch")
     b.add_argument("--e2e_epochs", type=int, default=3,

@@ -106,6 +106,21 @@ class InMemoryWebDataset(WebDataset):
     def image(self, index: int) -> np.ndarray:
         return self._images[index]
 
+    def subset(self, idxs) -> "InMemoryWebDataset":
+        """A view-like dataset over the given page indices (split slicing
+        for the synthetic CLI path) — lives here so the attribute list has
+        exactly one owner (__init__)."""
+        ds = InMemoryWebDataset.__new__(InMemoryWebDataset)
+        ds.root = self.root
+        ds.img_h = self.img_h
+        ds.ids = [self.ids[i] for i in idxs]
+        ds.all_boxes = [self.all_boxes[i] for i in idxs]
+        ds.all_labels = [self.all_labels[i] for i in idxs]
+        ds.all_additional = [self.all_additional[i] for i in idxs]
+        ds._images = [self._images[i] for i in idxs]
+        ds.n_additional_feat = self.n_additional_feat
+        return ds
+
 
 def materialize(
     out_dir: str,

@@ -47,7 +47,13 @@ int cova_decode_png(const char* path, unsigned char* out, int h, int w) {
     fclose(fp);
     return -3;
   }
+  // Declared before setjmp (and volatile, so its post-setjmp value is
+  // defined after a longjmp): a mid-stream decode error inside
+  // png_read_row lands in the handler AFTER the row buffer is allocated —
+  // without the free this leaked rowbytes per corrupt image.
+  png_bytep volatile row = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free((void*)row);
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
     return -4;
@@ -90,7 +96,7 @@ int cova_decode_png(const char* path, unsigned char* out, int h, int w) {
   }
 
   size_t rowbytes = png_get_rowbytes(png, info);
-  png_bytep row = (png_bytep)malloc(rowbytes);
+  row = (png_bytep)malloc(rowbytes);
   if (!row) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -252,21 +258,40 @@ int cova_parse_bbox_csv(const char* path, float* out, int max_rows) {
   p++;
 
   int rows = 0;
-  while (*p && rows < max_rows) {
+  while (rows < max_rows) {
+    // Skip blank lines / stray whitespace between rows.
+    while (*p == '\n' || *p == '\r' || *p == ' ') p++;
+    if (!*p) break;
     char* end = p;
     int ok = 1;
     for (int c = 0; c < 5; c++) {
+      if (c > 0) {
+        while (*p == ' ') p++;
+        if (*p != ',') {
+          ok = 0;
+          break;
+        }
+        p++;
+      }
+      while (*p == ' ') p++;
+      // A row with fewer than 5 fields must ERROR, not let strtof skip
+      // the newline and silently merge with the next row (shifting every
+      // subsequent box/label) — np.loadtxt raises on the same file.
+      if (*p == '\n' || *p == '\r' || *p == '\0') {
+        ok = 0;
+        break;
+      }
       out[rows * 5 + c] = strtof(p, &end);
       if (end == p) {
         ok = 0;
         break;
       }
       p = end;
-      if (c < 4) {
-        while (*p == ',' || *p == ' ') p++;
-      }
     }
-    if (!ok) break;
+    if (!ok) {
+      free(buf);
+      return -3;  // malformed row
+    }
     rows++;
     while (*p && *p != '\n') p++;
     if (*p == '\n') p++;
