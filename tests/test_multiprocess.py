@@ -170,3 +170,53 @@ def test_shard_order_equalized():
         p1._shard_order(np.arange(7))
     )
     assert got == set(range(7))
+
+
+def test_two_process_sharded_eval_gather(tmp_path):
+    """2 hosts x 5 virtual devices = dp 10: eval_batch_size (10) divides
+    the data axis, so eval chunks stay batch-sharded across hosts and
+    run_eval must gather (process_allgather) before reading — the exact
+    path that np.asarray used to crash with 'spans non-addressable
+    devices'. Train bs=10 so batches also shard evenly over dp=10."""
+    out = str(tmp_path / "mp_sharded_eval")
+    port = _free_port()
+    args = [a for a in ARGS]
+    args[args.index("-bs") + 1] = "10"
+    args[args.index("-e") + 1] = "1"
+
+    def launch(proc_id):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=5",
+            COVA_COORDINATOR_ADDRESS=f"localhost:{port}",
+            COVA_NUM_PROCESSES="2",
+            COVA_PROCESS_ID=str(proc_id),
+            PYTHONPATH=os.pathsep.join(
+                [REPO, env.get("PYTHONPATH", "")]
+            ).rstrip(os.pathsep),
+        )
+        return subprocess.Popen(
+            [sys.executable, "-m", "cova_tpu.cli", *args,
+             "--output_dir", out],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    procs = [launch(i) for i in range(2)]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+    for i, (p, stdout) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"process {i} failed:\n{stdout}"
+    # Eval ran (this is where the non-addressable fetch used to crash)
+    # and produced the accuracy lines on the primary host.
+    assert "Mesh: {'data': 10, 'model': 1}" in outputs[0]
+    assert "[VAL] Avg_class_Accuracy:" in outputs[0]
+    assert "[TEST] Avg_class_Accuracy:" in outputs[0]
