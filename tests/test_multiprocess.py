@@ -56,7 +56,7 @@ def _epoch_losses(out):
     )
 
 
-def _launch(proc_id: int, port: int, out: str, extra_env=None):
+def _launch(proc_id: int, port: int, out: str, extra_env=None, args=None):
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
@@ -70,7 +70,8 @@ def _launch(proc_id: int, port: int, out: str, extra_env=None):
     )
     env.update(extra_env or {})
     return subprocess.Popen(
-        [sys.executable, "-m", "cova_tpu.cli", *ARGS, "--output_dir", out],
+        [sys.executable, "-m", "cova_tpu.cli", *(args or ARGS),
+         "--output_dir", out],
         env=env,
         cwd=REPO,
         stdout=subprocess.PIPE,
@@ -219,4 +220,33 @@ def test_two_process_sharded_eval_gather(tmp_path):
     # and produced the accuracy lines on the primary host.
     assert "Mesh: {'data': 10, 'model': 1}" in outputs[0]
     assert "[VAL] Avg_class_Accuracy:" in outputs[0]
+    assert "[TEST] Avg_class_Accuracy:" in outputs[0]
+
+
+def test_two_process_model_parallel_restore(tmp_path):
+    """2 hosts x 2 devices with --model_parallel 2 (dp=2, tp=2): the
+    end-of-fit best-checkpoint restore fetches a TENSOR-sharded state
+    whose leaves are partially addressable per host — the path that
+    np.asarray-based restore used to crash on; it must instead reshard
+    to replicated (checkpoint._fetch) and finish test reporting."""
+    out = str(tmp_path / "mp_tp")
+    port = _free_port()
+    args = [a for a in ARGS]
+    args[args.index("-e") + 1] = "1"
+    args += ["--model_parallel", "2"]
+
+    procs = [_launch(i, port, out, args=args) for i in range(2)]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+    for i, (p, stdout) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"process {i} failed:\n{stdout}"
+    assert "Mesh: {'data': 2, 'model': 2}" in outputs[0]
+    assert "Restoring model to best Eval performance checkpoint" in outputs[0]
     assert "[TEST] Avg_class_Accuracy:" in outputs[0]
