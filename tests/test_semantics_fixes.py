@@ -115,3 +115,57 @@ def test_masked_bn_all_padding_batch_keeps_running_stats():
         np.asarray(s3["batch_stats"]["mean"]),
         np.asarray(s2["batch_stats"]["mean"]),
     )
+
+
+@pytest.mark.parametrize("roi_fwd", ["walk", "ranged"])
+def test_model_pallas_path_matches_xla(roi_fwd, monkeypatch):
+    """Full-model integration of the Pallas RoIPool path (interpret mode):
+    identical logits to the XLA path under the same variables — pins the
+    model-level wiring (fold/unfold shapes, spatial scale, mask plumbing)
+    that otherwise only executes on real TPU."""
+    import cova_tpu.models.cova as mcova
+    from cova_tpu.config import Config
+    from cova_tpu.models.cova import build_model
+
+    monkeypatch.setenv("COVA_ROI_FWD", roi_fwd)
+    orig = mcova.roi_pool_pallas
+    monkeypatch.setattr(
+        mcova, "roi_pool_pallas",
+        lambda fm, b, m, s, oh, ow: orig(fm, b, m, s, oh, ow, True),
+    )
+    cfg = Config(
+        img_height=64, max_boxes=8, context_size=3, hidden_dim=16,
+        bbox_hidden_dim=8, compute_dtype="float32",
+    )
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    boxes = np.zeros((2, cfg.pad_boxes, 4), np.float32)
+    boxes[:, :6] = rng.uniform(0, 40, (2, 6, 4)).astype(np.float32)
+    boxes[..., 2:] += boxes[..., :2] + 2.0
+    bmask = np.zeros((2, cfg.pad_boxes), bool)
+    bmask[:, :6] = True
+    ctx = np.full((2, cfg.pad_boxes, 6), -1, np.int32)
+
+    def logits(impl):
+        from cova_tpu.models.cova import CoVA
+
+        model = CoVA(
+            hidden_dim=cfg.hidden_dim,
+            bbox_hidden_dim=cfg.bbox_hidden_dim,
+            roi_impl=impl,
+            compute_dtype=jnp.float32,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), images, boxes, bmask, ctx, train=False
+        )
+        out = model.apply(
+            variables, images, boxes, bmask, ctx, train=False
+        )
+        return np.asarray(out.logits)
+
+    # Padded rows legitimately differ: the pallas path zeroes masked
+    # boxes' pooled features while the XLA op (maskless) pools the
+    # degenerate (0,0,0,0) box — both are discarded by mask downstream.
+    np.testing.assert_allclose(
+        logits("pallas")[bmask], logits("xla")[bmask], rtol=1e-5, atol=1e-5
+    )
