@@ -40,3 +40,5 @@ run infer_ranged      env COVA_ROI_FWD=ranged python -m cova_tpu.cli bench --mod
 # Stretch config (2560px, B=2): round-2 measured 78.0 ms/step before the
 # W-packed layer1 landed — re-measure post-packing.
 run stretch           env COVA_BENCH_IMG=2560 COVA_BENCH_BATCH=2 python bench.py
+
+python scripts/summarize_battery.py "$OUT" | tee "$OUT/SUMMARY.txt"
