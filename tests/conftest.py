@@ -10,11 +10,19 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may export axon/tpu
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# REPLACE any inherited device-count flag (same rule as __graft_entry__'s
+# respawn): a stale --xla_force_host_platform_device_count=2 from a prior
+# shell would cap the suite below the 8-device mesh the tests need.
+import re  # noqa: E402
+
+flags = re.sub(
+    r"--xla_force_host_platform_device_count=\d+",
+    "",
+    os.environ.get("XLA_FLAGS", ""),
+)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 # Persistent compilation cache: the suite is compile-dominated (measured
 # 94 -> 37 s on test_bucketing.py with a warm cache). Keyed by HLO +
 # compiler flags, so it is correctness-neutral; delete the dir to force
