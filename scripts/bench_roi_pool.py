@@ -7,13 +7,17 @@ the body; a scalar fetch forces the sync through the tunnel.
 
 Usage: python scripts/bench_roi_pool.py [B] [C] [HW] [mix]
 
-mix: "small" (default, 20-120 px boxes — the historical mix every prior
-round's numbers used), "real" (70% small + 20% medium + 10% page-spanning
-tall containers, approximating a DOM's box-height distribution), or
-"tall" (all 400-1200 px — the ranged forward's best case).
+mix: "small" (default; 20-120 px boxes, the same SIZE range as prior
+rounds' numbers — note the round-3 rewrite draws positions after sizes,
+so the seed-0 stream differs and cross-round comparisons are
+approximate, not exact), "real" (70% small + 20% medium + 10%
+page-spanning tall containers, approximating a DOM's box-height
+distribution), or "tall" (all 400-1200 px — the ranged forward's best
+case).
 Set COVA_ROI_FWD=ranged to A/B the chunk-max-pyramid forward variant.
 """
 
+import os
 import sys
 import time
 
@@ -69,11 +73,11 @@ boxes = jnp.asarray(
     np.stack([x1, y1, x1 + wid, y1 + hei], -1).astype(np.float32)
 )
 mask = jnp.asarray(np.ones((B, P), bool))
-print(f"mix={MIX} roi_fwd={__import__('os').environ.get('COVA_ROI_FWD', 'walk')}")
+print(f"mix={MIX} roi_fwd={os.environ.get('COVA_ROI_FWD', 'walk')}")
 
 # Mirror the impl's actual picks: padded H and the ranged scratch term
 # (the header must describe the config the measured kernel compiles with).
-_ranged = __import__("os").environ.get("COVA_ROI_FWD", "walk") == "ranged"
+_ranged = os.environ.get("COVA_ROI_FWD", "walk") == "ranged"
 _hp = _pad_h(HW)
 cb_f = _pick_cb(
     C, lambda cb: _fwd_vmem_bytes(_hp, HW, cb, P, 9, 2, B, C, ranged=_ranged)
