@@ -9,7 +9,7 @@ Public API surface:
 
 from .config import CLASS_NAMES, N_CLASSES, SEED, Config
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def build_model(cfg):
