@@ -92,11 +92,12 @@ class Config:
     # Train/eval batches slice the box dim to the smallest bucket that
     # holds the batch's max valid-box count (real data: mean 93 / max 230
     # boxes per page, splits/bbox_stats.txt) — one compiled step per
-    # bucket, proportionally less box-dim work. () disables. The TRAIN
-    # path only buckets single-process (per-host buckets would diverge on
-    # a pod's input stripes and deadlock collectives); eval buckets
-    # everywhere, since every host reads the full deterministic eval
-    # split and so agrees on the bucket.
+    # bucket, proportionally less box-dim work. () disables. Under
+    # multi-host, hosts agree on the bucket without communication: train
+    # buckets to the GLOBAL batch's max count, which every host computes
+    # locally (pipeline.global_batch_max_counts — shuffle/sampling RNGs
+    # are keyed by host-independent values); eval buckets per chunk, and
+    # every host reads the full deterministic eval split.
     box_buckets: tuple = (64, 128, 192)
 
     # ---- fold protocol ----

@@ -131,7 +131,9 @@ def _max_valid(batch: Batch) -> int:
     return int(batch.box_mask.sum(axis=1).max()) if batch.box_mask.size else 0
 
 
-def bucket_batch(batch: Batch, buckets: Sequence[int]) -> Batch:
+def bucket_batch(
+    batch: Batch, buckets: Sequence[int], lower_bound: int = 0
+) -> Batch:
     """Slice the box dim down to the smallest bucket holding every page's
     valid boxes (valid rows are front-packed by ``records.pad_page``).
 
@@ -142,10 +144,20 @@ def bucket_batch(batch: Batch, buckets: Sequence[int]) -> Batch:
     proportionally. Semantics are unchanged: every sliced-off row was
     masked padding, and per-image context indices are always < the page's
     valid count <= the bucket.
+
+    ``lower_bound``: minimum box count the bucket must hold, regardless of
+    this batch's content. Multi-host training passes the GLOBAL batch's max
+    count (``DataPipeline.global_batch_max_counts``) so every host compiles
+    and dispatches the same per-bucket program — a host whose local stripe
+    happens to be all-small pages must not pick a smaller bucket than its
+    peers, or the step's collectives deadlock.
     """
     p_full = batch.boxes.shape[1]
-    target = _bucket_target(_max_valid(batch), p_full, buckets) \
-        if buckets else p_full
+    target = (
+        _bucket_target(max(_max_valid(batch), lower_bound), p_full, buckets)
+        if buckets
+        else p_full
+    )
     if target >= p_full:
         return batch
     return _slice_boxes(batch, target)

@@ -74,34 +74,85 @@ class DataPipeline:
         n = len(self._shard_order(np.arange(len(self.ds))))
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _shard_order(self, order: np.ndarray) -> np.ndarray:
+    def _equalize(self, order: np.ndarray) -> np.ndarray:
+        """Round the order up to a shard_count multiple by cycling pages
+        from the front (the same page-cycling rule ``pad_batch`` applies to
+        the last partial batch): every host MUST see the same number of
+        batches per epoch, or the sharded train step's collectives deadlock
+        when one host runs an extra step."""
         if self.shard_count == 1:
             return order
-        # Equalize stripes: every host MUST see the same number of batches
-        # per epoch, or the sharded train step's collectives deadlock when
-        # one host runs an extra step. Cycle pages from the front of the
-        # order to round up to a shard_count multiple (the same
-        # page-cycling rule pad_batch applies to the last partial batch).
         n = len(order)
         m = -(-n // self.shard_count) * self.shard_count
         if m != n:
             order = np.concatenate([order, order[: m - n]])
-        return order[self.shard_index :: self.shard_count]
+        return order
 
-    def _epoch_order(self, epoch: int) -> np.ndarray:
+    def _shard_order(self, order: np.ndarray) -> np.ndarray:
+        if self.shard_count == 1:
+            return order
+        return self._equalize(order)[self.shard_index :: self.shard_count]
+
+    def _shuffled_order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.default_rng((self.seed, epoch))
             order = rng.permutation(order)
-        return self._shard_order(order)
+        return order
 
-    def _make_page(self, epoch: int, index: int):
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        return self._shard_order(self._shuffled_order(epoch))
+
+    def _sampled_record(self, epoch: int, index: int):
+        """The page's bbox record after BG subsampling — the exact record
+        ``_make_page`` pads (RNG keyed by (seed, epoch, dataset index), so
+        every host computes the same record)."""
         rec = self.ds.record(index)
         if self.sampling_fraction < 1.0:
             rng = np.random.default_rng((self.seed, epoch, index))
             rec = sample_background(rec, self.sampling_fraction, rng)
+        return rec
+
+    def global_batch_max_counts(self, epoch: int) -> np.ndarray:
+        """Per-batch max post-sampling box count over the GLOBAL batch —
+        computable on ANY host with zero communication.
+
+        Everything that determines the global batches is keyed by
+        host-independent values: the epoch shuffle by (seed, epoch), stripe
+        equalization deterministically, BG sampling by (seed, epoch,
+        dataset index). Host h's local batch b is
+        ``stripe_h[b*L:(b+1)*L]`` with ``stripe_h = order_eq[h::S]``, so
+        global batch b is the contiguous block
+        ``order_eq[b*G:(b+1)*G]`` (G = batch_size * shard_count).
+
+        Counting costs one ``sample_background`` per page per epoch on
+        bbox arrays already in RAM (``WebDataset`` loads bboxes eagerly) —
+        no image decode, microseconds per page. Used by the trainer to
+        pick one padding bucket per step that every host agrees on
+        (``batching.bucket_batch(lower_bound=...)``).
+        """
+        order = self._equalize(self._shuffled_order(epoch))
+        counts = np.fromiter(
+            (
+                self._sampled_record(epoch, int(i)).n_boxes
+                for i in order
+            ),
+            dtype=np.int64,
+            count=len(order),
+        )
+        g = self.batch_size * self.shard_count
+        n_batches = (len(order) + g - 1) // g
+        return np.asarray(
+            [counts[b * g : (b + 1) * g].max() for b in range(n_batches)],
+            dtype=np.int64,
+        )
+
+    def _make_page(self, epoch: int, index: int):
         return pad_page(
-            rec, self.pad_boxes, self.context_size, self.ds.n_additional_feat
+            self._sampled_record(epoch, index),
+            self.pad_boxes,
+            self.context_size,
+            self.ds.n_additional_feat,
         )
 
     def _make_example(self, epoch: int, index: int):

@@ -278,18 +278,30 @@ def fit(
         step_metrics = []
         # Pad to the pipeline's LOCAL batch size (== cfg.batch_size single-
         # host; cfg.batch_size / process_count per host on a pod). Then
-        # slice the box dim to the batch's padding bucket (single-process
-        # only: per-host buckets would diverge across a pod's stripes and
-        # deadlock the collectives).
+        # slice the box dim to the batch's padding bucket. Under multi-host
+        # every host must pick the SAME bucket per step (divergent buckets
+        # = divergent XLA programs = deadlocked collectives); the GLOBAL
+        # batch's max box count is computable on every host with zero
+        # communication, so each step buckets to that.
         local_bs = train_pipeline.batch_size
-        buckets = (
-            tuple(cfg.box_buckets)
-            if jax.process_count() == 1
-            else ()
+        buckets = tuple(cfg.box_buckets)
+        global_max = (
+            train_pipeline.global_batch_max_counts(epoch)
+            if buckets and jax.process_count() > 1
+            else None
         )
         padded = (
-            (ids, bucket_batch(pad_batch(b, local_bs)[0], buckets))
-            for ids, b in train_pipeline.epoch(epoch=epoch)
+            (
+                ids,
+                bucket_batch(
+                    pad_batch(b, local_bs)[0],
+                    buckets,
+                    lower_bound=(
+                        int(global_max[i]) if global_max is not None else 0
+                    ),
+                ),
+            )
+            for i, (ids, b) in enumerate(train_pipeline.epoch(epoch=epoch))
         )
         for _, batch in device_prefetch(padded, size=2,
                                         sharding=train_sharding,

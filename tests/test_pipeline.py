@@ -108,3 +108,45 @@ def test_producer_errors_propagate(mem_ds):
     p = _pipe(broken)
     with pytest.raises(IOError):
         list(p.epoch(0))
+
+
+def test_global_batch_max_counts_multihost():
+    """Every host computes the SAME per-batch global max box count with no
+    communication, and it equals the max actually materialized across the
+    stripes — the invariant that lets multi-host training keep padding
+    buckets (divergent per-host buckets would deadlock collectives)."""
+    from cova_tpu.data.batching import bucket_batch
+
+    ds = InMemoryWebDataset(
+        n_pages=11, img_h=16, seed=3, min_boxes=4, max_boxes=30
+    )
+    pipes = [
+        DataPipeline(
+            ds, batch_size=2, pad_boxes=32, context_size=2,
+            shuffle=True, sampling_fraction=0.9, seed=7,
+            num_threads=2, shard_index=i, shard_count=2,
+        )
+        for i in range(2)
+    ]
+    c0 = pipes[0].global_batch_max_counts(epoch=1)
+    c1 = pipes[1].global_batch_max_counts(epoch=1)
+    np.testing.assert_array_equal(c0, c1)
+
+    # Materialize both stripes: 11 pages equalize to 12 -> 6/host ->
+    # 3 local batches/host == 3 global batches.
+    batches = [list(p.epoch(epoch=1)) for p in pipes]
+    assert len(batches[0]) == len(batches[1]) == len(c0) == 3
+    buckets = (8, 16, 24, 32)
+    saw_divergent_local_max = False
+    for b, ((_, b0), (_, b1)) in enumerate(zip(*batches)):
+        local = [int(x.box_mask.sum(axis=1).max()) for x in (b0, b1)]
+        assert max(local) == int(c0[b])
+        saw_divergent_local_max |= local[0] != local[1]
+        dims = {
+            bucket_batch(x, buckets, lower_bound=int(c0[b])).boxes.shape[1]
+            for x in (b0, b1)
+        }
+        assert len(dims) == 1, "hosts picked different buckets"
+    # The fixture's seeds were chosen so at least one batch has different
+    # per-host local maxima — otherwise the lower_bound does no work here.
+    assert saw_divergent_local_max
