@@ -48,6 +48,7 @@ def run_train_bench(
     img_height: int = 1280,
     compute_dtype: str = "bfloat16",
     windows: int = 3,
+    use_additional_feat: bool = False,
 ):
     import jax
 
@@ -58,10 +59,16 @@ def run_train_bench(
     from .models.cova import build_model
     from .train.steps import create_train_state, train_step
 
+    # CoVA++ datapoint (--use_additional_feat, the reference's best
+    # published config, utils.py:23-25): 4 synthetic features, matching
+    # the CLI's synthetic path.
+    n_af = 4 if use_additional_feat else 0
     cfg = Config(
         batch_size=batch_size,
         img_height=img_height,
         compute_dtype=compute_dtype,
+        use_additional_feat=use_additional_feat,
+        n_additional_feat=n_af,
     )
     model = build_model(cfg)
 
@@ -69,7 +76,8 @@ def run_train_bench(
     for i in range(batch_size):
         rng = np.random.default_rng((7, i))
         rec = synth_record(str(i), img_height, rng, min_boxes=60,
-                           max_boxes=min(120, cfg.max_boxes))
+                           max_boxes=min(120, cfg.max_boxes),
+                           n_additional_feat=n_af)
         imgs.append(synth_image(rec, img_height, rng))
         pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size))
     # The trainer slices this box mix (60-120/page, matching the real
@@ -139,6 +147,7 @@ def run_train_bench(
         "batch_size": batch_size,
         "img_height": img_height,
         "compute_dtype": compute_dtype,
+        "use_additional_feat": use_additional_feat,
         "device": str(jax.devices()[0]),
     }
 

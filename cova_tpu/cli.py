@@ -67,6 +67,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", type=int, default=0, metavar="N_PAGES",
                    help="use N synthetic pages instead of data_dir "
                         "(smoke runs without the external dataset)")
+    p.add_argument("--synthetic_hard", action="store_true",
+                   help="harder synthetic task: color-matched distractor "
+                        "boxes + noisy layout priors (non-saturating sweep "
+                        "scores that make regressions visible)")
     p.add_argument("--decode_cache", default="", metavar="DIR",
                    help="decoded-screenshot disk cache: inflate each PNG "
                         "once, later epochs/runs memcpy from the OS page "
@@ -131,6 +135,7 @@ def _load_datasets(cfg: Config, args):
             n_additional_feat=(
                 4 if cfg.use_additional_feat else 0
             ),
+            hard=getattr(args, "synthetic_hard", False),
         )
 
         # Synthesize a page->domain mapping (10 round-robin domains) so the
@@ -414,16 +419,16 @@ def cmd_predict(args) -> int:
             model, cfg, example, jax.random.PRNGKey(cfg.seed)
         )
         state = _restore_best(
-        cfg, state, torch_model=getattr(args, "torch_model", None)
-    )
+            cfg, state, torch_model=getattr(args, "torch_model", None)
+        )
     else:
         train_ds, val_ds, test_ds, _, _ = _load_datasets(cfg, args)
         cfg, model, state, _, _, test_p = _build(
             cfg, train_ds, val_ds, test_ds
         )
         state = _restore_best(
-        cfg, state, torch_model=getattr(args, "torch_model", None)
-    )
+            cfg, state, torch_model=getattr(args, "torch_model", None)
+        )
         pipeline = test_p
     out_dir = args.out_dir or os.path.join(
         cfg.results_dir, f"Fold-{cfg.cv_fold} predictions"
@@ -580,16 +585,18 @@ def cmd_bench(args) -> int:
             num_threads=args.num_workers or 0,
         )
     else:
-        fn = (
-            benchmarks.run_infer_bench
-            if args.mode == "infer"
-            else benchmarks.run_train_bench
-        )
+        kw = {}
+        if args.mode == "infer":
+            fn = benchmarks.run_infer_bench
+        else:
+            fn = benchmarks.run_train_bench
+            kw["use_additional_feat"] = args.additional_feat
         result = fn(
             batch_size=bs,
             steps=args.steps,
             img_height=args.img_height,
             compute_dtype=args.compute_dtype,
+            **kw,
         )
     import json
 

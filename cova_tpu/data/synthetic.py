@@ -28,6 +28,7 @@ def synth_record(
     min_boxes: int = 11,
     max_boxes: int = 230,
     n_additional_feat: int = 0,
+    hard: bool = False,
 ) -> PageRecord:
     n = int(rng.integers(min_boxes, max_boxes + 1))
     # Random boxes with w,h >= 2 px, inside the image.
@@ -40,6 +41,33 @@ def synth_record(
     # Exactly one box per non-BG class.
     pos = rng.choice(n, size=3, replace=False)
     labels[pos] = [1, 2, 3]
+    if hard:
+        # Hard mode (VERDICT r3 weak 5): class-box GEOMETRY follows soft
+        # layout priors instead of being uniform — the color channel alone
+        # no longer identifies the class (synth_image draws color-matched
+        # distractors), so the model must combine appearance with the bbox
+        # positional features to beat them, and the priors are noisy
+        # enough that Bayes accuracy is below 100%.
+        ih = float(img_h)
+        # Title: wide, short, near the top.
+        boxes[pos[1]] = [
+            rng.uniform(0.05, 0.3) * ih, rng.uniform(0.0, 0.25) * ih,
+            rng.uniform(0.3, 0.6) * ih, rng.uniform(0.03, 0.08) * ih,
+        ]
+        # Price: small, mid-page.
+        boxes[pos[0]] = [
+            rng.uniform(0.1, 0.8) * ih, rng.uniform(0.25, 0.6) * ih,
+            rng.uniform(0.04, 0.12) * ih, rng.uniform(0.02, 0.06) * ih,
+        ]
+        # Image: large and square-ish, upper half.
+        side = rng.uniform(0.25, 0.45) * ih
+        boxes[pos[2]] = [
+            rng.uniform(0.0, 0.5) * ih, rng.uniform(0.0, 0.35) * ih,
+            side * rng.uniform(0.85, 1.15), side,
+        ]
+        np.clip(boxes[:, :2], 0, ih - 4, out=boxes[:, :2])
+        boxes[:, 2] = np.minimum(boxes[:, 2], ih - boxes[:, 0])
+        boxes[:, 3] = np.minimum(boxes[:, 3], ih - boxes[:, 1])
     feats = None
     if n_additional_feat > 0:
         feats = rng.normal(size=(n, n_additional_feat)).astype(np.float32)
@@ -47,10 +75,19 @@ def synth_record(
 
 
 def synth_image(
-    record: PageRecord, img_h: int, rng: np.random.Generator
+    record: PageRecord, img_h: int, rng: np.random.Generator,
+    hard: bool = False,
 ) -> np.ndarray:
     """Screenshot-like uint8 image: light background, boxes drawn as blocks
-    whose fill encodes their class (so a model can actually learn)."""
+    whose fill encodes their class (so a model can actually learn).
+
+    ``hard=True`` (VERDICT r3 weak 5 — the easy task saturates at ~100%
+    and hides regressions): class colors are jittered AND ~15% of BG boxes
+    are DISTRACTORS drawn from the same jittered class palettes, so color
+    alone cannot identify the true box — the model must combine it with
+    the layout priors ``synth_record(hard=True)`` gives the class boxes.
+    Sweep accuracies land mid-80s to mid-90s instead of ~100 (measured;
+    see artifacts/sweep_r4), making a 2-3 point regression visible."""
     img = np.full((img_h, img_h, 3), 245, dtype=np.uint8)
     palette = {
         0: np.array([200, 200, 200], np.uint8),
@@ -59,15 +96,34 @@ def synth_image(
         3: np.array([40, 220, 40], np.uint8),  # Image: green-ish
     }
     # BG boxes first, target boxes last, so a random BG box cannot paint
-    # over a Price/Title/Image box and destroy the visual signal.
-    order = np.argsort(record.labels != 0, kind="stable")
+    # over a Price/Title/Image box and destroy the visual signal. In hard
+    # mode the large Image box could blanket Price/Title, so class boxes
+    # additionally draw in area-DESCENDING order (small ones on top — the
+    # same occlusion rule a DOM's paint order gives children).
+    is_cls = record.labels != 0
+    if hard:
+        area = record.boxes_xywh[:, 2] * record.boxes_xywh[:, 3]
+        order = np.lexsort((-area * is_cls, is_cls))
+    else:
+        order = np.argsort(is_cls, kind="stable")
     for (bx, by, bw, bh), lab in zip(
         record.boxes_xywh[order], record.labels[order]
     ):
         x1, y1 = int(bx), int(by)
         x2 = min(int(bx + bw), img_h)
         y2 = min(int(by + bh), img_h)
-        img[y1:y2, x1:x2] = palette[int(lab)]
+        color = palette[int(lab)]
+        if hard:
+            if lab == 0 and rng.uniform() < 0.15:
+                # Color-matched distractor: same jitter distribution as
+                # the true class boxes below.
+                color = palette[int(rng.integers(1, 4))]
+            if not np.array_equal(color, palette[0]):
+                jit = rng.integers(-40, 41, size=3)
+                color = np.clip(
+                    color.astype(np.int32) + jit, 0, 255
+                ).astype(np.uint8)
+        img[y1:y2, x1:x2] = color
     noise = rng.integers(0, 8, size=img.shape, dtype=np.uint8)
     return (img - np.minimum(img, noise)).astype(np.uint8)
 
@@ -83,6 +139,7 @@ class InMemoryWebDataset(WebDataset):
         min_boxes: int = 11,
         max_boxes: int = 230,
         n_additional_feat: int = 0,
+        hard: bool = False,
     ):
         # Deliberately skip WebDataset.__init__ (no disk backing).
         self.root = "<memory>"
@@ -95,12 +152,13 @@ class InMemoryWebDataset(WebDataset):
         for i in range(n_pages):
             rng = np.random.default_rng((seed, i))
             rec = synth_record(
-                str(i), img_h, rng, min_boxes, max_boxes, n_additional_feat
+                str(i), img_h, rng, min_boxes, max_boxes,
+                n_additional_feat, hard=hard,
             )
             self.all_boxes.append(rec.boxes_xywh)
             self.all_labels.append(rec.labels)
             self.all_additional.append(rec.additional_feats)
-            self._images.append(synth_image(rec, img_h, rng))
+            self._images.append(synth_image(rec, img_h, rng, hard=hard))
         self.n_additional_feat = n_additional_feat
 
     def image(self, index: int) -> np.ndarray:
@@ -130,6 +188,7 @@ def materialize(
     min_boxes: int = 11,
     max_boxes: int = 230,
     n_additional_feat: int = 0,
+    hard: bool = False,
 ) -> List[str]:
     """Write a synthetic dataset in the reference on-disk layout
     (imgs/<id>.png, bboxes/<id>.csv with header, optional
@@ -146,9 +205,10 @@ def materialize(
     for i in range(n_pages):
         rng = np.random.default_rng((seed, i))
         rec = synth_record(
-            str(i), img_h, rng, min_boxes, max_boxes, n_additional_feat
+            str(i), img_h, rng, min_boxes, max_boxes,
+            n_additional_feat, hard=hard,
         )
-        img = synth_image(rec, img_h, rng)
+        img = synth_image(rec, img_h, rng, hard=hard)
         Image.fromarray(img).save(
             os.path.join(out_dir, "imgs", f"{rec.page_id}.png")
         )

@@ -151,6 +151,14 @@ def retrieval_metric(
     ``jax.lax.top_k`` over the -inf-masked column is the same set. ``k`` is
     static (it shapes the top_k output). Returns (correct [B, n_classes-1]
     bool, present [B, n_classes-1] bool).
+
+    Tie-breaking (documented divergence, measure-zero on float logits): when
+    two boxes share the exact k-th logit value, the reference's ascending
+    ``argsort`` keeps the HIGHEST index (numpy argsort stability + last-k
+    slice), while ``top_k`` prefers the LOWEST index. The hit test is a set-
+    membership over the chosen k indices, so the outcomes differ only when
+    the tie straddles the k-boundary AND one of the tied boxes is the true
+    one — pinned by ``tests/test_metrics.py::test_retrieval_tie_breaking``.
     """
     neg = jnp.asarray(-jnp.inf, jnp.float32)
     masked = jnp.where(mask[..., None], logits.astype(jnp.float32), neg)

@@ -73,16 +73,23 @@ boxes = jnp.asarray(
     np.stack([x1, y1, x1 + wid, y1 + hei], -1).astype(np.float32)
 )
 mask = jnp.asarray(np.ones((B, P), bool))
-print(f"mix={MIX} roi_fwd={os.environ.get('COVA_ROI_FWD', 'walk')}")
+print(
+    f"mix={MIX} roi_fwd={os.environ.get('COVA_ROI_FWD', 'ranged')} "
+    f"roi_bwd={os.environ.get('COVA_ROI_BWD', 'pyramid')}"
+)
 
 # Mirror the impl's actual picks: padded H and the ranged scratch term
-# (the header must describe the config the measured kernel compiles with).
-_ranged = os.environ.get("COVA_ROI_FWD", "walk") == "ranged"
+# (the header must describe the config the measured kernel compiles with;
+# _roi_pool_fwd_impl defaults COVA_ROI_FWD to "ranged").
+_ranged = os.environ.get("COVA_ROI_FWD", "ranged") == "ranged"
 _hp = _pad_h(HW)
 cb_f = _pick_cb(
     C, lambda cb: _fwd_vmem_bytes(_hp, HW, cb, P, 9, 2, B, C, ranged=_ranged)
 )
-cb_b = _pick_cb(C, lambda cb: _bwd_vmem_bytes(_hp, HW, cb, P, 9, 2))
+_pyr = os.environ.get("COVA_ROI_BWD", "pyramid") == "pyramid"
+cb_b = _pick_cb(
+    C, lambda cb: _bwd_vmem_bytes(_hp, HW, cb, P, 9, 2, pyramid=_pyr)
+)
 print(
     f"B={B} C={C} HW={HW} P={P}: fwd cb={cb_f} "
     f"({_fwd_vmem_bytes(_hp, HW, cb_f, P, 9, 2, B, C, ranged=_ranged) / 1e6:.1f} MB), "

@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-3 on-chip measurement battery. Run when the TPU tunnel is up.
-# Each step appends its tail to artifacts/tpu_r3/; safe to re-run.
+# Round-4 on-chip measurement battery. Run when the TPU tunnel is up.
+# Each step appends its tail to artifacts/tpu_r4/; safe to re-run.
 set -u
 cd "$(dirname "$0")/.."
-OUT=artifacts/tpu_r3
+OUT=artifacts/tpu_r4
 mkdir -p "$OUT"
 
 run() { # name cmd...
@@ -19,7 +19,11 @@ run() { # name cmd...
 # Persistent compilation cache: remote-tunnel compiles have measured
 # 69-2211 s; if the PJRT plugin supports executable serialization this
 # makes every re-run warm (harmless no-op otherwise).
-export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cc}
+# Host-keyed cache dir (utils/hostfp.py): avoids XLA's cross-machine
+# feature-mismatch hazard if /tmp/jax_cc ever lands on a shared FS.
+_fp=$(python -c "import sys; sys.path.insert(0, '$(dirname "$0")/..'); \
+from cova_tpu.utils.hostfp import host_fingerprint; print(host_fingerprint())")
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cc/$_fp}
 # bench.py's internal retry must fit inside run()'s outer timeout:
 # 2 attempts x 2700 s + slack < 6000 s (default was 3 x 3000, which the
 # old outer timeout 3000 killed before any retry could run).
@@ -34,17 +38,22 @@ run infer_b32    python -m cova_tpu.cli bench --mode infer -bsb 32
 run infer_b1     python -m cova_tpu.cli bench --mode infer -bsb 1
 run e2e_disk     python -m cova_tpu.cli bench --mode e2e --e2e_source disk -bsb 8
 run eval_chunk   python scripts/measure_eval_chunk.py --pages 40
-# RoIPool ranged-forward A/B (chunk-max pyramid, COVA_ROI_FWD=ranged):
-# walk vs ranged on the small mix, an approximated real DOM mix, and the
-# all-tall best case; plus the whole-step bench both ways.
-run roi_small_walk    python scripts/bench_roi_pool.py 8 64 320 small
-run roi_small_ranged  env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 small
-run roi_real_walk     python scripts/bench_roi_pool.py 8 64 320 real
-run roi_real_ranged   env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 real
-run roi_tall_walk     python scripts/bench_roi_pool.py 8 64 320 tall
-run roi_tall_ranged   env COVA_ROI_FWD=ranged python scripts/bench_roi_pool.py 8 64 320 tall
-run bench_ranged      env COVA_ROI_FWD=ranged python bench.py
-run infer_ranged      env COVA_ROI_FWD=ranged python -m cova_tpu.cli bench --mode infer -bsb 32
+# RoIPool A/Bs. Round-4 defaults are fwd=ranged + bwd=pyramid; measure
+# the pyramid-routed backward (COVA_ROI_BWD, r4 redesign) against the
+# walk on all three mixes, and keep one fwd walk/ranged pair for drift.
+run roi_small         python scripts/bench_roi_pool.py 8 64 320 small
+run roi_small_bwalk   env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 small
+run roi_real          python scripts/bench_roi_pool.py 8 64 320 real
+run roi_real_bwalk    env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 real
+run roi_tall          python scripts/bench_roi_pool.py 8 64 320 tall
+run roi_tall_bwalk    env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 tall
+run roi_real_fwalk    env COVA_ROI_FWD=walk python scripts/bench_roi_pool.py 8 64 320 real
+# Flagship-geometry ported-checkpoint parity in bf16 on chip (VERDICT r3
+# next-5): logit delta + 100% retrieval-pick agreement, artifact JSON.
+run parity_flagship   python scripts/parity_flagship.py 2
+# CoVA++ (--use_additional_feat — the reference's best published config,
+# utils.py:23-25): whole-step bench datapoint with the feature path on.
+run bench_af          python -m cova_tpu.cli bench --mode train -bsb 8 --use_additional_feat
 # Stretch config (2560px, B=2): round-2 measured 78.0 ms/step before the
 # W-packed layer1 landed — re-measure post-packing (CLI bench: step_ms
 # lands in the JSON).

@@ -165,6 +165,57 @@ def test_port_tree_structure_matches_init(rng):
     assert paths(stats) == paths(variables["batch_stats"])
 
 
+def test_load_verified_backbone_file_roundtrip(tmp_path, rng):
+    """Checksum-round-trip fixture (VERDICT r3 next-9/8): the FILE half of
+    the port path — ``torch.save`` a torchvision-layout state_dict, reload
+    through ``load_verified_backbone(verify=False)``, and require stem
+    activation equality against torch. The in-memory oracle tests above
+    skip file IO entirely (torch serialization, zip/pickle load, tensor
+    re-materialization), which is where a real-weights-file-specific
+    layout/transpose bug would live."""
+    from cova_tpu.utils.pretrained import load_verified_backbone
+
+    torch.manual_seed(5)
+    tm = _torch_resnet(TBasic, (2, 2, 2, 2), 1)
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    pth = str(tmp_path / "resnet18-custom.pth")
+    torch.save(tm.state_dict(), pth)
+
+    params, stats = load_verified_backbone("resnet18_stem", pth, verify=False)
+    in_mem_params, in_mem_stats = port_backbone_for(
+        "resnet18_stem", tm.state_dict()
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(in_mem_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm.forward(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+    got = make_backbone("resnet18_stem").apply(
+        {"params": params, "batch_stats": stats}, x, train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_load_verified_backbone_rejects_wrong_hash(tmp_path):
+    """verify=True must refuse a file whose sha256 does not match the pin —
+    the tamper-evidence half of the registry contract."""
+    from cova_tpu.utils.pretrained import load_verified_backbone
+
+    torch.manual_seed(6)
+    tm = _torch_resnet(TBasic, (2, 2, 2, 2), 1)
+    pth = str(tmp_path / "resnet18-f37072fd.pth")
+    torch.save(tm.state_dict(), pth)
+    with pytest.raises(ValueError, match="sha256"):
+        load_verified_backbone("resnet18_stem", pth, verify=True)
+
+
 def test_cli_init_checkpoint(tmp_path):
     """`cova train --init_checkpoint f.pth` ports the backbone before
     training (VERDICT r1 missing #1)."""

@@ -63,7 +63,9 @@ def test_odd_channel_count_uses_smaller_blocks():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
-def test_backward_matches_xla_grad():
+@pytest.mark.parametrize("bwd", ["walk", "pyramid"])
+def test_backward_matches_xla_grad(bwd, monkeypatch):
+    monkeypatch.setenv("COVA_ROI_BWD", bwd)
     rng = np.random.default_rng(4)
     fm, boxes, mask = _case(rng, B=1, P=6)
     fmj, bj, mj = jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask)
@@ -158,7 +160,9 @@ def test_multi_window_boxes(seed):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
-def test_multi_window_backward():
+@pytest.mark.parametrize("bwd", ["walk", "pyramid"])
+def test_multi_window_backward(bwd, monkeypatch):
+    monkeypatch.setenv("COVA_ROI_BWD", bwd)
     rng = np.random.default_rng(7)
     B, H, W, C = 1, 16, 320, 4
     n = B * H * W * C
@@ -257,6 +261,99 @@ def test_h_not_chunk_divisible_is_padded(impl, monkeypatch):
     d_pallas = np.asarray(jax.grad(loss_pallas)(fmj))
     d_xla = np.asarray(jax.grad(loss_xla)(fmj))
     np.testing.assert_allclose(d_pallas, d_xla, rtol=1e-5, atol=1e-5)
+
+
+def test_pyramid_backward_tall_and_aligned_bins(monkeypatch):
+    """The pyramid backward's edge/interior split: full-height boxes (pure
+    interior runs), chunk-aligned bins (no top edge), single-chunk bins
+    (one edge visit covering both ends), and bottom-clipped bins must all
+    match the XLA grad. Unique fm values keep gradients tie-free."""
+    monkeypatch.setenv("COVA_ROI_BWD", "pyramid")
+    rng = np.random.default_rng(11)
+    B, H, W, C = 1, 48, 16, 4
+    n = B * H * W * C
+    fm = ((rng.permutation(n) / n * 4 - 2).astype(np.float32)
+          .reshape(B, H, W, C))
+    boxes = np.array([[
+        [0.0, 0.0, 63.0, 191.0],     # full-height: interiors dominate
+        [4.0, 0.0, 40.0, 95.0],      # bins chunk-aligned at 0/8/16/24
+        [0.0, 32.0, 20.0, 46.0],     # short box, single chunk per bin
+        [8.0, 180.0, 30.0, 191.0],   # bottom-clipped
+        [12.0, 50.0, 50.0, 130.0],   # unaligned: edges + interiors
+    ]], np.float32)
+    mask = np.ones((1, 5), bool)
+    g = rng.normal(size=(B, 5, 3, 3, C)).astype(np.float32)
+
+    def loss_pallas(f):
+        out = roi_pool_pallas(f, jnp.asarray(boxes), jnp.asarray(mask),
+                              0.25, 3, 3, True)
+        return jnp.sum(out * jnp.asarray(g))
+
+    def loss_xla(f):
+        out = roi_pool(f, jnp.asarray(boxes), spatial_scale=0.25,
+                       out_h=3, out_w=3)
+        return jnp.sum(out * jnp.asarray(g))
+
+    gp = jax.grad(loss_pallas)(jnp.asarray(fm))
+    gx = jax.grad(loss_xla)(jnp.asarray(fm))
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pyramid_backward_overlapping_boxes_route_jointly(monkeypatch):
+    """Multiple overlapping boxes routing gradients into the same
+    (chunk, lane) slots of the shared buffer must sum correctly — the
+    core invariant of the routed formulation (every contribution to a
+    slot shares the compare key m1[c][lane])."""
+    monkeypatch.setenv("COVA_ROI_BWD", "pyramid")
+    rng = np.random.default_rng(13)
+    B, H, W, C = 1, 32, 16, 4
+    n = B * H * W * C
+    fm = ((rng.permutation(n) / n).astype(np.float32).reshape(B, H, W, C))
+    # Nested boxes: identical, contained, and staggered — bin maxes of
+    # different boxes coincide at the same fm cells.
+    boxes = np.array([[
+        [0.0, 0.0, 63.0, 127.0],
+        [0.0, 0.0, 63.0, 127.0],     # identical duplicate
+        [8.0, 16.0, 56.0, 110.0],    # nested
+        [0.0, 40.0, 63.0, 127.0],    # staggered overlap
+    ]], np.float32)
+    mask = np.ones((1, 4), bool)
+    g = rng.normal(size=(B, 4, 3, 3, C)).astype(np.float32)
+
+    def loss_pallas(f):
+        out = roi_pool_pallas(f, jnp.asarray(boxes), jnp.asarray(mask),
+                              0.25, 3, 3, True)
+        return jnp.sum(out * jnp.asarray(g))
+
+    def loss_xla(f):
+        out = roi_pool(f, jnp.asarray(boxes), spatial_scale=0.25,
+                       out_h=3, out_w=3)
+        return jnp.sum(out * jnp.asarray(g))
+
+    gp = jax.grad(loss_pallas)(jnp.asarray(fm))
+    gx = jax.grad(loss_xla)(jnp.asarray(fm))
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pick_cb_pyramid_scratch_term():
+    """The pyramid backward's two f32 scratch buffers (~7.9 MB at
+    flagship) must not demote the calibrated cb=64 pick, and must be
+    accounted at the stretch geometry."""
+    from cova_tpu.ops.roi_pool_pallas import _bwd_vmem_bytes, _pick_cb
+
+    pick = lambda hw: _pick_cb(  # noqa: E731
+        64, lambda cb: _bwd_vmem_bytes(hw, hw, cb, 232, 9, 2, pyramid=True)
+    )
+    assert pick(320) == 64
+    assert pick(640) == 16
+    for hw in (320, 640):
+        walk = _bwd_vmem_bytes(hw, hw, 64, 232, 9, 2)
+        pyr = _bwd_vmem_bytes(hw, hw, 64, 232, 9, 2, pyramid=True)
+        assert pyr - walk == 2 * (hw // 8) * 64 * (((hw + 127) // 128) * 128) * 4
 
 
 def test_pick_cb_ranged_scratch_term():
