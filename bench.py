@@ -32,13 +32,13 @@ def _run_worker():
 
     result = run_train_bench(
         # Per-chip throughput is reported at the best measured batch
-        # (B=32 — fixed per-step costs amortize; r3 measured 252 vs
-        # ~234 pages/s at B=8); vs_baseline stays fair because both
-        # sides are per-page. COVA_BENCH_BATCH overrides. NOTE: the
-        # baseline anchor is a 1-core torch-CPU measurement
-        # (baseline_torch.json cpu_count: 1) — vs_baseline is honest
-        # JSON but quotes a single-core CPU, not a GPU.
-        batch_size=int(os.environ.get("COVA_BENCH_BATCH", "32")),
+        # (B=64 — fixed per-step costs amortize; r4 battery measured
+        # 285.5 at B=64 vs 278.9 at B=32 vs 273.4 at B=8); vs_baseline
+        # stays fair because both sides are per-page. COVA_BENCH_BATCH
+        # overrides. NOTE: the baseline anchor is a 1-core torch-CPU
+        # measurement (baseline_torch.json cpu_count: 1) — vs_baseline
+        # is honest JSON but quotes a single-core CPU, not a GPU.
+        batch_size=int(os.environ.get("COVA_BENCH_BATCH", "64")),
         steps=int(os.environ.get("COVA_BENCH_STEPS", "20")),
         img_height=int(os.environ.get("COVA_BENCH_IMG", "1280")),
     )

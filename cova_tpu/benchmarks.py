@@ -79,7 +79,8 @@ def run_train_bench(
                            max_boxes=min(120, cfg.max_boxes),
                            n_additional_feat=n_af)
         imgs.append(synth_image(rec, img_height, rng))
-        pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size))
+        pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size,
+                              n_additional_feat=n_af))
     # The trainer slices this box mix (60-120/page, matching the real
     # data's mean 93) to its padding bucket before dispatch — measure the
     # step the product actually runs. The torch-CPU anchor is ragged

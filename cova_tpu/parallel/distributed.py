@@ -106,10 +106,20 @@ def initialize(
         else:
             coordinator_address = None
     if coordinator_address is not None:
+        kwargs = {}
+        # Coordinator connect deadline (seconds). JAX's default is 300 s,
+        # which a loaded single-core host can blow through while another
+        # job owns the core (observed: 2-process CPU test flaked while a
+        # TPU battery compiled next door). COVA_DIST_INIT_TIMEOUT widens
+        # it without touching the normal-path default.
+        timeout = _env_int("COVA_DIST_INIT_TIMEOUT")
+        if timeout is not None:
+            kwargs["initialization_timeout"] = timeout
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
         _initialized = True
     elif _looks_multihost():

@@ -46,16 +46,20 @@ def default_eval_chunk() -> int:
       * CPU backend (local, cheap dispatch), 320px: chunk=1 15.3 s vs
         chunk=8 27.7 s — chunking LOSES 1.8x; and every np.stack copy is
         pure overhead.
-      * TPU via the remote tunnel, 1280px flagship: chunk=8 wins (round-2
-        measurement when chunking landed: the ~8x dispatch-count cut
-        dominated the epoch; each dispatch pays a tunnel round-trip).
+      * TPU via the remote tunnel, 1280px flagship: round 2 measured
+        chunk=8 winning (the ~8x dispatch-count cut dominated); the
+        round-4 re-measurement flipped — chunk=1 4.65 s vs chunk=8
+        8.38 s (artifacts/tpu_r4/eval_chunk.out): restacking + one big
+        host->tunnel serialization now costs more than the saved
+        round-trips.
 
-    So: 8 on TPU backends, 1 on CPU. ``COVA_EVAL_CHUNK`` overrides.
+    So: 1 everywhere as of round 4. The chunked path stays (G>1 via
+    ``COVA_EVAL_CHUNK``) for high-RTT links where round-trips dominate.
     """
     env = os.environ.get("COVA_EVAL_CHUNK")
     if env is not None:
         return max(1, int(env))
-    return 8 if jax.default_backend() != "cpu" else 1
+    return 1
 
 
 def run_eval(

@@ -48,6 +48,9 @@ run roi_real_bwalk    env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 6
 run roi_tall          python scripts/bench_roi_pool.py 8 64 320 tall
 run roi_tall_bwalk    env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 tall
 run roi_real_fwalk    env COVA_ROI_FWD=walk python scripts/bench_roi_pool.py 8 64 320 real
+# Compiled-kernel numerics vs the XLA reference (the pytest oracles run
+# interpret mode only — this checks the MOSAIC lowering the chip runs).
+run roi_onchip        python scripts/check_roi_onchip.py
 # Flagship-geometry ported-checkpoint parity in bf16 on chip (VERDICT r3
 # next-5): logit delta + 100% retrieval-pick agreement, artifact JSON.
 run parity_flagship   python scripts/parity_flagship.py 2

@@ -23,6 +23,20 @@ def test_train_bench_smoke():
     json.dumps(r)  # JSON-serializable for the driver line
 
 
+def test_train_bench_additional_feat():
+    """CoVA++ datapoint (--use_additional_feat): the bench must pad the
+    4 synthetic features into the batch — regression for the r4 battery
+    crash where pad_page was called without n_additional_feat and the
+    model (n_additional_feat=4) received None."""
+    r = run_train_bench(
+        batch_size=2, steps=2, img_height=64,
+        compute_dtype="float32", windows=1, use_additional_feat=True,
+    )
+    assert r["value"] > 0
+    assert r["use_additional_feat"] is True
+    json.dumps(r)
+
+
 def test_infer_bench_smoke():
     r = run_infer_bench(
         batch_size=2, steps=2, img_height=64,

@@ -194,10 +194,11 @@ def test_run_eval_chunk_invariance(tiny_cfg, monkeypatch):
 
 
 def test_default_eval_chunk_backend_aware(monkeypatch):
-    """The COVA_EVAL_CHUNK default is measured-per-backend (VERDICT r2
-    item 9): 1 where dispatch is cheap (CPU — chunking lost 1.8x), 8 on
-    TPU (dispatch round-trips through the tunnel dominate); an explicit
-    env value always wins."""
+    """The COVA_EVAL_CHUNK default is measured (VERDICT r2 item 9, re-
+    measured round 4): 1 everywhere — chunking lost 1.8x on CPU and the
+    r4 tunnel re-measurement flipped TPU too (artifacts/tpu_r4/
+    eval_chunk.out). An explicit env value always wins (the chunked path
+    stays for high-RTT links)."""
     from cova_tpu.train.trainer import default_eval_chunk
 
     monkeypatch.delenv("COVA_EVAL_CHUNK", raising=False)

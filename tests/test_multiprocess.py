@@ -63,6 +63,7 @@ def _launch(proc_id: int, port: int, out: str, extra_env=None, args=None):
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
         COVA_COORDINATOR_ADDRESS=f"localhost:{port}",
         COVA_NUM_PROCESSES="2",
+        COVA_DIST_INIT_TIMEOUT="1200",
         COVA_PROCESS_ID=str(proc_id),
         PYTHONPATH=os.pathsep.join(
             [REPO, env.get("PYTHONPATH", "")]
@@ -192,6 +193,7 @@ def test_two_process_sharded_eval_gather(tmp_path):
             XLA_FLAGS="--xla_force_host_platform_device_count=5",
             COVA_COORDINATOR_ADDRESS=f"localhost:{port}",
             COVA_NUM_PROCESSES="2",
+            COVA_DIST_INIT_TIMEOUT="1200",
             COVA_PROCESS_ID=str(proc_id),
             PYTHONPATH=os.pathsep.join(
                 [REPO, env.get("PYTHONPATH", "")]
