@@ -315,6 +315,7 @@ def run_infer_bench(
     img_height: int = 1280,
     compute_dtype: str = "bfloat16",
     windows: int = 3,
+    use_additional_feat: bool = False,
 ):
     """Serving throughput: forward-only (eval mode, running BN stats),
     logits for every box on the page — the deployment path of ``cova
@@ -330,19 +331,26 @@ def run_infer_bench(
     from .models.cova import build_model
     from .train.steps import create_train_state
 
+    # CoVA++ serving datapoint: same 4 synthetic features as the train
+    # bench / CLI synthetic path.
+    n_af = 4 if use_additional_feat else 0
     cfg = Config(
         batch_size=batch_size,
         img_height=img_height,
         compute_dtype=compute_dtype,
+        use_additional_feat=use_additional_feat,
+        n_additional_feat=n_af,
     )
     model = build_model(cfg)
     imgs, pages = [], []
     for i in range(batch_size):
         rng = np.random.default_rng((11, i))
         rec = synth_record(str(i), img_height, rng, min_boxes=60,
-                           max_boxes=min(120, cfg.max_boxes))
+                           max_boxes=min(120, cfg.max_boxes),
+                           n_additional_feat=n_af)
         imgs.append(synth_image(rec, img_height, rng))
-        pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size))
+        pages.append(pad_page(rec, cfg.pad_boxes, cfg.context_size,
+                              n_additional_feat=n_af))
     # The product eval path buckets the box dim (run_eval) — serve the
     # same shapes it dispatches.
     batch = jax.device_put(
@@ -377,6 +385,7 @@ def run_infer_bench(
                 batch.boxes,
                 batch.box_mask,
                 batch.context_indices,
+                batch.additional_feats if n_af else None,
                 train=False,
             )
             return acc + (
@@ -420,5 +429,6 @@ def run_infer_bench(
         "batch_size": batch_size,
         "img_height": img_height,
         "compute_dtype": compute_dtype,
+        "use_additional_feat": use_additional_feat,
         "device": str(jax.devices()[0]),
     }

@@ -585,12 +585,11 @@ def cmd_bench(args) -> int:
             num_threads=args.num_workers or 0,
         )
     else:
-        kw = {}
         if args.mode == "infer":
             fn = benchmarks.run_infer_bench
         else:
             fn = benchmarks.run_train_bench
-            kw["use_additional_feat"] = args.additional_feat
+        kw = {"use_additional_feat": args.additional_feat}
         result = fn(
             batch_size=bs,
             steps=args.steps,

@@ -65,6 +65,12 @@ def synth_record(
             rng.uniform(0.0, 0.5) * ih, rng.uniform(0.0, 0.35) * ih,
             side * rng.uniform(0.85, 1.15), side,
         ]
+        # Keep the module-wide w,h >= 2 px invariant: the priors scale
+        # with img_h, so at small smoke geometries (e.g. 64 px) the
+        # Price height draw uniform(0.02, 0.06)*ih can land below 2 px —
+        # sub-pixel after the stride-4 backbone, collapsing Price
+        # accuracy toward chance for reasons unrelated to task hardness.
+        boxes[pos, 2:] = np.maximum(boxes[pos, 2:], 2.0)
         np.clip(boxes[:, :2], 0, ih - 4, out=boxes[:, :2])
         boxes[:, 2] = np.minimum(boxes[:, 2], ih - boxes[:, 0])
         boxes[:, 3] = np.minimum(boxes[:, 3], ih - boxes[:, 1])

@@ -439,19 +439,59 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, p_total, per_box, 0)
 
 
-def _col_parity_groups(out_w: int):
-    """Column cells split into even/odd parity groups.
+def _col_groups(out_w: int):
+    """Column cells packed into compare-key groups whose member bins are
+    column-DISJOINT-OR-IDENTICAL for every possible roi width.
 
-    Adjacent bins can overlap by at most one column (torchvision's
-    floor/ceil bounds), so same-parity cells are column-disjoint UNLESS
-    they are bitwise-identical intervals (roi_w < out_w makes all bins
-    [x, x+1)). Both cases are exact under the sum-combine used below: the
-    group's compare key is the pooled value of whichever member covers
-    the lane (identical intervals have identical pooled maxes), and the
-    group's gradient is the SUM of member gradients at that lane — which
-    is precisely the joint contribution the per-cell formulation makes.
+    Both cases are exact under the sum-combine used below: the group's
+    compare key is the pooled value of whichever member covers the lane
+    (identical intervals have identical pooled maxes), and the group's
+    gradient is the SUM of member gradients at that lane — which is
+    precisely the joint contribution the per-cell formulation makes.
+    Overlapping NON-identical members would be wrong (the later member's
+    pooled value overwrites the key while both gradients are summed under
+    it), and do occur: ``roi_w=2, out_w=5`` gives bins ``[0,1)`` and
+    ``[0,2)`` at cells 0 and 2, so plain even/odd parity is only safe for
+    ``out_w <= 4``.
+
+    Greedy first-fit with two admission checks:
+      * members at least 2 apart — adjacent bins share a column whenever
+        ``(j+1)*roi_w % out_w != 0`` (floor/ceil bounds), for arbitrarily
+        large widths;
+      * for each ``roi_w in [1, out_w)``, exact integer bin bounds of the
+        candidate vs every member are disjoint or identical. Widths
+        ``>= out_w`` need no check: cells ``j < k`` with ``k-j >= 2`` have
+        ``floor(k*rl/out) >= ceil((j+1)*rl/out)`` because the gap
+        ``(k-j-1)*rl/out >= 1``.
+
+    For ``out_w=3`` this reproduces the historic even/odd pair
+    ``((0, 2), (1,))``; ``out_w=5`` packs to ``((0, 3), (1, 4), (2,))``.
     """
-    return (tuple(range(0, out_w, 2)), tuple(range(1, out_w, 2)))
+    def bins(rl):
+        return [
+            ((i * rl) // out_w, ((i + 1) * rl + out_w - 1) // out_w)
+            for i in range(out_w)
+        ]
+
+    small = [bins(rl) for rl in range(1, out_w)]
+
+    def compatible(a, b):
+        if abs(a - b) < 2:
+            return False
+        for bl in small:
+            if bl[a] != bl[b] and bl[a][1] > bl[b][0] and bl[b][1] > bl[a][0]:
+                return False
+        return True
+
+    groups: list[list[int]] = []
+    for j in range(out_w):
+        for g in groups:
+            if all(compatible(j, m) for m in g):
+                g.append(j)
+                break
+        else:
+            groups.append([j])
+    return tuple(tuple(g) for g in groups)
 
 
 def _bwd_kernel_pyramid(
@@ -488,9 +528,9 @@ def _bwd_kernel_pyramid(
     to the bin max receives the full cotangent, summed over bins); the
     oracle tests run tie-free so all variants must agree exactly.
 
-    Column cells fold into even/odd parity groups (``_col_parity_groups``)
-    for both the edge and routed paths: 2 compare keys per bin-row
-    instead of ``out_w``.
+    Column cells fold into disjoint-or-identical groups (``_col_groups``;
+    even/odd parity at the default ``out_w=3``) for both the edge and
+    routed paths: ~2-3 compare keys per bin-row instead of ``out_w``.
     """
     b = pl.program_id(0)
     p_total = g_ref.shape[2]
@@ -501,7 +541,7 @@ def _bwd_kernel_pyramid(
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
     neg = jnp.asarray(-jnp.inf, jnp.float32)
     big = jnp.asarray(jnp.inf, jnp.float32)
-    groups = _col_parity_groups(out_w)
+    groups = _col_groups(out_w)
 
     def mk(c, carry):
         y0 = pl.multiple_of(c * _CHUNK, _CHUNK)

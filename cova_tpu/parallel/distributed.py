@@ -105,16 +105,17 @@ def initialize(
                 process_id = _env_int("COVA_PROCESS_ID")
         else:
             coordinator_address = None
+    # Coordinator connect deadline (seconds), honored on BOTH branches.
+    # JAX's default is 300 s, which a loaded single-core host can blow
+    # through while another job owns the core (observed: 2-process CPU
+    # test flaked while a TPU battery compiled next door).
+    # COVA_DIST_INIT_TIMEOUT widens it without touching the normal-path
+    # default.
+    kwargs = {}
+    timeout = _env_int("COVA_DIST_INIT_TIMEOUT")
+    if timeout is not None:
+        kwargs["initialization_timeout"] = timeout
     if coordinator_address is not None:
-        kwargs = {}
-        # Coordinator connect deadline (seconds). JAX's default is 300 s,
-        # which a loaded single-core host can blow through while another
-        # job owns the core (observed: 2-process CPU test flaked while a
-        # TPU battery compiled next door). COVA_DIST_INIT_TIMEOUT widens
-        # it without touching the normal-path default.
-        timeout = _env_int("COVA_DIST_INIT_TIMEOUT")
-        if timeout is not None:
-            kwargs["initialization_timeout"] = timeout
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -123,7 +124,7 @@ def initialize(
         )
         _initialized = True
     elif _looks_multihost():
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         _initialized = True
 
 

@@ -53,8 +53,6 @@ jax.config.update(
 )
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -37,6 +37,20 @@ def test_train_bench_additional_feat():
     json.dumps(r)
 
 
+def test_infer_bench_additional_feat():
+    """CoVA++ serving datapoint: `cova bench --mode infer
+    --use_additional_feat` must build the 4-feature model and label the
+    result JSON — before round 4 the CLI silently dropped the flag on the
+    infer branch."""
+    r = run_infer_bench(
+        batch_size=2, steps=2, img_height=64,
+        compute_dtype="float32", windows=1, use_additional_feat=True,
+    )
+    assert r["value"] > 0
+    assert r["use_additional_feat"] is True
+    json.dumps(r)
+
+
 def test_infer_bench_smoke():
     r = run_infer_bench(
         batch_size=2, steps=2, img_height=64,

@@ -339,6 +339,71 @@ def test_pyramid_backward_overlapping_boxes_route_jointly(monkeypatch):
     )
 
 
+def test_col_groups_disjoint_or_identical_all_widths():
+    """_col_groups members' bins must be column-disjoint or bitwise
+    identical for EVERY roi width — the invariant the routed backward's
+    overwrite-key/sum-gradient combine relies on. Plain even/odd parity
+    violates it at out_w=5 (roi_w=2: cells 0 and 2 give [0,1) vs [0,2)),
+    which silently misrouted gradients before round 4's fix."""
+    from cova_tpu.ops.roi_pool_pallas import _col_groups
+
+    for out_w in range(1, 9):
+        groups = _col_groups(out_w)
+        assert sorted(j for g in groups for j in g) == list(range(out_w))
+        # Check far beyond out_w: adjacent bins overlap at arbitrarily
+        # large widths whenever (j+1)*rl % out_w != 0.
+        for rl in range(1, 4 * out_w + 2):
+            bins = [
+                ((i * rl) // out_w, ((i + 1) * rl + out_w - 1) // out_w)
+                for i in range(out_w)
+            ]
+            for g in groups:
+                for a, b in zip(g, g[1:]):
+                    same = bins[a] == bins[b]
+                    disjoint = (
+                        bins[a][1] <= bins[b][0] or bins[b][1] <= bins[a][0]
+                    )
+                    assert same or disjoint, (out_w, rl, a, b)
+    # The default geometry keeps its historic (and fastest) parity split.
+    assert _col_groups(3) == ((0, 2), (1,))
+
+
+@pytest.mark.parametrize("bwd", ["walk", "pyramid"])
+def test_backward_narrow_boxes_roi5(bwd, monkeypatch):
+    """out 5x5 with boxes narrower than out_w feature cells: the regime
+    where same-parity bins overlap non-identically (caught in round-4
+    review — the pyramid backward misrouted gradients by 1.7 absolute
+    before _col_groups validated its grouping)."""
+    monkeypatch.setenv("COVA_ROI_BWD", bwd)
+    rng = np.random.default_rng(17)
+    B, H, W, C, P = 1, 16, 16, 4, 5
+    fm = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    # 4-10 px wide/tall at scale 0.25 -> 1-2 feature cells < out_w=5.
+    x1 = rng.uniform(0, 50, (B, P))
+    y1 = rng.uniform(0, 50, (B, P))
+    wpx = rng.uniform(4, 10, (B, P))
+    hpx = rng.uniform(4, 10, (B, P))
+    boxes = np.stack([x1, y1, x1 + wpx, y1 + hpx], -1).astype(np.float32)
+    mask = np.ones((B, P), bool)
+    g = rng.normal(size=(B, P, 5, 5, C)).astype(np.float32)
+
+    def loss_pallas(f):
+        out = roi_pool_pallas(f, jnp.asarray(boxes), jnp.asarray(mask),
+                              0.25, 5, 5, True)
+        return jnp.sum(out * jnp.asarray(g))
+
+    def loss_xla(f):
+        out = roi_pool(f, jnp.asarray(boxes), spatial_scale=0.25,
+                       out_h=5, out_w=5)
+        return jnp.sum(out * jnp.asarray(g))
+
+    gp = jax.grad(loss_pallas)(jnp.asarray(fm))
+    gx = jax.grad(loss_xla)(jnp.asarray(fm))
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pick_cb_pyramid_scratch_term():
     """The pyramid backward's two f32 scratch buffers (~7.9 MB at
     flagship) must not demote the calibrated cb=64 pick, and must be
