@@ -20,6 +20,74 @@ import numpy as np
 from .dataset import WebDataset
 from .records import PageRecord
 
+# Hard-mode layout priors: per-class (x, y, w, h) ranges as fractions of
+# the image side. True class boxes draw from these TIGHT ranges; each page
+# also gets ~2 BG "mimics" per class whose geometry draws from the ranges
+# WIDENED by _HARD_WIDEN about their midpoints and whose fill color comes
+# from the same jittered class palette (synth_image) — so neither color
+# nor coarse layout alone identifies the true box. The geometry-only
+# optimal rule (typicality under the tight prior) lands ~80-90% at
+# widen=2.0 (each mimic falls inside the tight region with prob
+# ~(1/2)^4 and then ties with the true box; natural BG matches add a
+# few more), so sweep scores have real headroom below 100 and
+# regressions are visible. See _TRUE_JITTER for the color half.
+_HARD_PRIORS = {
+    1: ((0.10, 0.80), (0.25, 0.60), (0.04, 0.12), (0.02, 0.06)),  # Price
+    2: ((0.05, 0.30), (0.00, 0.25), (0.30, 0.60), (0.03, 0.08)),  # Title
+    # Image: (x, y, HEIGHT, aspect w/h) — w comes from h * aspect. The
+    # aspect dimension is what keeps the Bayes ceiling honest: without
+    # it, the many naturally-large random BG boxes flood the Image
+    # region (measured: optimal-rule accuracy collapses to ~43%); the
+    # ranges sit away from 0 so widening is not clipped into overlap.
+    3: ((0.05, 0.45), (0.02, 0.32), (0.28, 0.42), (0.90, 1.10)),
+}
+_HARD_WIDEN = 2.0
+
+
+def _hard_prior_ranges(cls: int, ih: float, widen: float = 1.0):
+    """Pixel-space [lo, hi] per prior dimension — (x, y, w, h) for
+    Price/Title, (x, y, h, aspect) for Image — widened about each
+    range's midpoint. Size lows are floored at the module-wide 2 px
+    minimum (synth_record clamps its draws the same way, keeping the
+    mimic-membership test in synth_image consistent at small smoke
+    geometries); the aspect dimension is dimensionless and not scaled."""
+    out = []
+    for d, (lo, hi) in enumerate(_HARD_PRIORS[cls]):
+        mid, half = (lo + hi) / 2.0, (hi - lo) / 2.0 * widen
+        scale = 1.0 if (cls == 3 and d == 3) else ih
+        plo, phi = max(0.0, mid - half) * scale, (mid + half) * scale
+        if d >= 2 and not (cls == 3 and d == 3):
+            plo, phi = max(plo, 2.0), max(phi, 2.0)
+        out.append((plo, phi))
+    return out
+
+
+def _hard_prior_draw(cls: int, ih: float, rng: np.random.Generator,
+                     widen: float = 1.0) -> np.ndarray:
+    vals = [rng.uniform(lo, hi)
+            for lo, hi in _hard_prior_ranges(cls, ih, widen)]
+    if cls == 3:
+        x, y, h, aspect = vals
+        return np.array([x, y, h * aspect, h], np.float32)
+    return np.array(vals, np.float32)
+
+
+def _hard_mimic_class(bx, by, bw, bh, ih: float) -> int:
+    """Class whose WIDENED prior region contains this geometry (0 if
+    none) — the coloring rule for BG boxes in hard mode. Checked in the
+    same pixel space the draws happen in."""
+    for cls in (1, 2, 3):
+        rngs = _hard_prior_ranges(cls, ih, _HARD_WIDEN)
+        if cls == 3:
+            vals = (bx, by, bh, bw / max(bh, 1e-6))
+        else:
+            vals = (bx, by, bw, bh)
+        tol = (0.5, 0.5, 0.5, 0.01 if cls == 3 else 0.5)
+        if all(lo - t <= v <= hi + t
+               for v, (lo, hi), t in zip(vals, rngs, tol)):
+            return cls
+    return 0
+
 
 def synth_record(
     page_id: str,
@@ -42,35 +110,28 @@ def synth_record(
     pos = rng.choice(n, size=3, replace=False)
     labels[pos] = [1, 2, 3]
     if hard:
-        # Hard mode (VERDICT r3 weak 5): class-box GEOMETRY follows soft
-        # layout priors instead of being uniform — the color channel alone
-        # no longer identifies the class (synth_image draws color-matched
-        # distractors), so the model must combine appearance with the bbox
-        # positional features to beat them, and the priors are noisy
-        # enough that Bayes accuracy is below 100%.
+        # Hard mode (VERDICT r3 weak 5): true class boxes draw their
+        # geometry from TIGHT layout priors (_HARD_PRIORS), and ~2 BG
+        # boxes per class become geometry MIMICS drawn from the priors
+        # widened by _HARD_WIDEN. synth_image colors mimics from the same
+        # jittered class palette, so the model must rank typicality under
+        # the tight prior (positional features + appearance statistics) —
+        # Bayes accuracy is meaningfully below 100% (see _HARD_PRIORS).
         ih = float(img_h)
-        # Title: wide, short, near the top.
-        boxes[pos[1]] = [
-            rng.uniform(0.05, 0.3) * ih, rng.uniform(0.0, 0.25) * ih,
-            rng.uniform(0.3, 0.6) * ih, rng.uniform(0.03, 0.08) * ih,
-        ]
-        # Price: small, mid-page.
-        boxes[pos[0]] = [
-            rng.uniform(0.1, 0.8) * ih, rng.uniform(0.25, 0.6) * ih,
-            rng.uniform(0.04, 0.12) * ih, rng.uniform(0.02, 0.06) * ih,
-        ]
-        # Image: large and square-ish, upper half.
-        side = rng.uniform(0.25, 0.45) * ih
-        boxes[pos[2]] = [
-            rng.uniform(0.0, 0.5) * ih, rng.uniform(0.0, 0.35) * ih,
-            side * rng.uniform(0.85, 1.15), side,
-        ]
+        for cls, p in ((1, pos[0]), (2, pos[1]), (3, pos[2])):
+            boxes[p] = _hard_prior_draw(cls, ih, rng, widen=1.0)
+        bg = np.setdiff1d(np.arange(n), pos)
+        n_mimics = min(6, bg.size)
+        mimic_idx = rng.choice(bg, size=n_mimics, replace=False)
+        for k, m in enumerate(mimic_idx):
+            boxes[m] = _hard_prior_draw(1 + k % 3, ih, rng,
+                                        widen=_HARD_WIDEN)
         # Keep the module-wide w,h >= 2 px invariant: the priors scale
         # with img_h, so at small smoke geometries (e.g. 64 px) the
         # Price height draw uniform(0.02, 0.06)*ih can land below 2 px —
         # sub-pixel after the stride-4 backbone, collapsing Price
         # accuracy toward chance for reasons unrelated to task hardness.
-        boxes[pos, 2:] = np.maximum(boxes[pos, 2:], 2.0)
+        boxes[:, 2:] = np.maximum(boxes[:, 2:], 2.0)
         np.clip(boxes[:, :2], 0, ih - 4, out=boxes[:, :2])
         boxes[:, 2] = np.minimum(boxes[:, 2], ih - boxes[:, 0])
         boxes[:, 3] = np.minimum(boxes[:, 3], ih - boxes[:, 1])
@@ -78,6 +139,72 @@ def synth_record(
     if n_additional_feat > 0:
         feats = rng.normal(size=(n, n_additional_feat)).astype(np.float32)
     return PageRecord(page_id, boxes, labels, feats)
+
+
+_PALETTE = {
+    0: np.array([200, 200, 200], np.uint8),
+    1: np.array([220, 40, 40], np.uint8),  # Price: red-ish
+    2: np.array([40, 40, 220], np.uint8),  # Title: blue-ish
+    3: np.array([40, 220, 40], np.uint8),  # Image: green-ish
+}
+
+# Bimodal color-cue knobs (hard mode). True class boxes jitter
+# +-_TRUE_JITTER around the palette center; a colored mimic is, with
+# p=_CONFUSABLE_P, drawn from the SAME cube (color-indistinguishable —
+# only geometry typicality can resolve it) and otherwise shifts each
+# channel by 55..110 AWAY from the clip boundary (margin >= 25/channel —
+# trivially separable). A plain color-typicality threshold — which the
+# CNN branch learns in a couple of epochs — therefore tops out at
+# ~0.83-0.89 (E[1/(1+k)], k ~= Poisson(0.2-0.35) color-confusable
+# competitors/class: the planted mimics plus the plentiful NATURAL
+# widened-region matches, measured ~3.5-6 colored members/page at
+# 60-120 boxes — which is why p sits at 0.06, not 0.15), and partial
+# geometry learning can lift that toward the mid-90s. Earlier
+# designs measured on chip: pure geometry mimicry is near-unlearnable
+# (64-unit MLP probe plateaus 20-45%; flagship model 60% and still
+# climbing at epoch 12 with a graded +-40/+-90 cue) — the bimodal margin
+# is what makes the sub-100 ceiling actually REACHABLE, so sweep scores
+# track model quality instead of optimization noise.
+_TRUE_JITTER = 30
+_CONFUSABLE_P = 0.06
+
+
+def _box_colors(
+    record: PageRecord, img_h: int, rng: np.random.Generator,
+    hard: bool = False,
+) -> np.ndarray:
+    """Per-box fill colors, [n,3] uint8, chosen in record order (one
+    deterministic rng stream). Hard mode: any BG box inside a class's
+    WIDENED prior region — the mimics synth_record planted plus the
+    occasional natural match — takes that class's palette (p=0.9, plus a
+    small residual rate of pure color-only distractors), then class
+    colors get the bimodal jitter described at _TRUE_JITTER above."""
+    n = record.n_boxes
+    colors = np.broadcast_to(_PALETTE[0], (n, 3)).copy()
+    for j in range(n):
+        lab = int(record.labels[j])
+        color = _PALETTE[lab]
+        if hard:
+            if lab == 0:
+                bx, by, bw, bh = record.boxes_xywh[j]
+                mc = _hard_mimic_class(bx, by, bw, bh, float(img_h))
+                if mc and rng.uniform() < 0.9:
+                    color = _PALETTE[mc]
+                elif rng.uniform() < 0.05:
+                    color = _PALETTE[int(rng.integers(1, 4))]
+            if not np.array_equal(color, _PALETTE[0]):
+                if lab == 0 and rng.uniform() >= _CONFUSABLE_P:
+                    mag = rng.integers(55, 111, size=3)
+                    sign = np.where(color.astype(np.int32) >= 128, -1, 1)
+                    jit = mag * sign
+                else:
+                    jit = rng.integers(-_TRUE_JITTER, _TRUE_JITTER + 1,
+                                       size=3)
+                color = np.clip(
+                    color.astype(np.int32) + jit, 0, 255
+                ).astype(np.uint8)
+        colors[j] = color
+    return colors
 
 
 def synth_image(
@@ -88,47 +215,33 @@ def synth_image(
     whose fill encodes their class (so a model can actually learn).
 
     ``hard=True`` (VERDICT r3 weak 5 — the easy task saturates at ~100%
-    and hides regressions): class colors are jittered AND ~15% of BG boxes
-    are DISTRACTORS drawn from the same jittered class palettes, so color
-    alone cannot identify the true box — the model must combine it with
-    the layout priors ``synth_record(hard=True)`` gives the class boxes.
-    Sweep accuracies land mid-80s to mid-90s instead of ~100 (measured;
-    see artifacts/sweep_r4), making a 2-3 point regression visible."""
+    and hides regressions): the geometry mimics ``synth_record(hard=True)``
+    planted get class-palette fills with the bimodal jitter described at
+    ``_TRUE_JITTER`` — so neither color nor coarse layout alone identifies
+    the true box, and the reachable ceiling sits in the high-80s/low-90s,
+    making a 2-3 point regression visible in sweep scores.
+
+    Paint order: plain BG boxes below, SALIENT boxes — class boxes and
+    their color-matched mimics — on top in area-descending order (small
+    on top, the same occlusion rule a DOM's paint order gives children).
+    Mimics must share the true boxes' paint layer: if random BG boxes
+    could cover mimics but never the (always-last) true boxes, visibility
+    itself would leak the label (caught by
+    test_hard_mode_mimics_are_planted_and_colored)."""
     img = np.full((img_h, img_h, 3), 245, dtype=np.uint8)
-    palette = {
-        0: np.array([200, 200, 200], np.uint8),
-        1: np.array([220, 40, 40], np.uint8),  # Price: red-ish
-        2: np.array([40, 40, 220], np.uint8),  # Title: blue-ish
-        3: np.array([40, 220, 40], np.uint8),  # Image: green-ish
-    }
-    # BG boxes first, target boxes last, so a random BG box cannot paint
-    # over a Price/Title/Image box and destroy the visual signal. In hard
-    # mode the large Image box could blanket Price/Title, so class boxes
-    # additionally draw in area-DESCENDING order (small ones on top — the
-    # same occlusion rule a DOM's paint order gives children).
-    is_cls = record.labels != 0
+    colors = _box_colors(record, img_h, rng, hard=hard)
+    salient = (record.labels != 0) | (colors != _PALETTE[0]).any(axis=1)
     if hard:
         area = record.boxes_xywh[:, 2] * record.boxes_xywh[:, 3]
-        order = np.lexsort((-area * is_cls, is_cls))
+        order = np.lexsort((-area * salient, salient))
     else:
-        order = np.argsort(is_cls, kind="stable")
-    for (bx, by, bw, bh), lab in zip(
-        record.boxes_xywh[order], record.labels[order]
+        order = np.argsort(salient, kind="stable")
+    for (bx, by, bw, bh), color in zip(
+        record.boxes_xywh[order], colors[order]
     ):
         x1, y1 = int(bx), int(by)
         x2 = min(int(bx + bw), img_h)
         y2 = min(int(by + bh), img_h)
-        color = palette[int(lab)]
-        if hard:
-            if lab == 0 and rng.uniform() < 0.15:
-                # Color-matched distractor: same jitter distribution as
-                # the true class boxes below.
-                color = palette[int(rng.integers(1, 4))]
-            if not np.array_equal(color, palette[0]):
-                jit = rng.integers(-40, 41, size=3)
-                color = np.clip(
-                    color.astype(np.int32) + jit, 0, 255
-                ).astype(np.uint8)
         img[y1:y2, x1:x2] = color
     noise = rng.integers(0, 8, size=img.shape, dtype=np.uint8)
     return (img - np.minimum(img, noise)).astype(np.uint8)
