@@ -451,6 +451,74 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export the fold's best trained checkpoint to the REFERENCE's torch
+    format — the inverse of ``--torch_model`` serving. Writes a
+    ``model.state_dict()``-style ``.pth`` (reference ``train.py:84``) to the
+    exact path the reference's offline consumers look it up at
+    (``evaluate.py:184`` / ``extract_attn_wts_and_visualize.py:61``:
+    ``<results_dir>/Fold-<k> saved_model.pth``), so a model trained on TPU
+    here drops straight into the reference repo's eval/visualize scripts."""
+    import jax
+    import numpy as np
+    import torch
+
+    from .data.batching import Batch
+    from .models.cova import build_model
+    from .train.steps import create_train_state
+    from .utils.torch_port import export_cova_state_dict
+
+    cfg = _cfg_from_args(args)
+    if cfg.use_additional_feat and cfg.n_additional_feat == 0:
+        # Normally discovered from data (datasets.py:78 semantics); export
+        # has no dataset in hand, so take it from the flag (synthetic and
+        # the reference's published CoVA++ both use 4).
+        cfg = cfg.replace(n_additional_feat=args.n_feat)
+    if cfg.backbone != "resnet18_stem":
+        raise SystemExit(
+            "export targets the reference architecture (models.py:48-56), "
+            f"which uses the truncated resnet18 stem; got --backbone "
+            f"{cfg.backbone}"
+        )
+    # Param shapes don't depend on image size — init on a tiny example
+    # (cheap CPU trace) while keeping cfg for the results-dir key.
+    shape_cfg = cfg.replace(img_height=64)
+    P, K = shape_cfg.pad_boxes, 2 * cfg.context_size
+    example = Batch(
+        images=np.zeros((1, 64, 64, 3), np.uint8),
+        boxes=np.tile(
+            np.array([2.0, 2.0, 10.0, 10.0], np.float32), (1, P, 1)
+        ),
+        labels=np.zeros((1, P), np.int32),
+        box_mask=np.ones((1, P), bool),
+        context_indices=np.full((1, P, K), -1, np.int32),
+        additional_feats=np.zeros(
+            (1, P, cfg.n_additional_feat), np.float32
+        ),
+    )
+    model = build_model(shape_cfg)
+    state = create_train_state(
+        model, shape_cfg, example, jax.random.PRNGKey(cfg.seed)
+    )
+    state = _restore_best(cfg, state)
+    sd = export_cova_state_dict(
+        jax.device_get(state.params),
+        jax.device_get(state.batch_stats),
+        use_context=cfg.context_size > 0,
+        bbox_hidden_dim=cfg.bbox_hidden_dim,
+        n_additional_feat=cfg.n_additional_feat,
+        roi=cfg.roi,
+    )
+    out = args.out or os.path.join(
+        cfg.results_dir, f"Fold-{cfg.cv_fold} saved_model.pth"
+    )
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    torch.save(sd, out)
+    print(f"Exported reference-format checkpoint ({len(sd)} tensors) "
+          f"to {out}")
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from .train.extract import extract_attention
 
@@ -629,6 +697,7 @@ def main(argv: Optional[list] = None) -> int:
         ("predict", cmd_predict),
         ("visualize", cmd_visualize),
         ("sweep", cmd_sweep),
+        ("export", cmd_export),
     ]:
         p = sub.add_parser(name)
         _add_common_flags(p)
@@ -639,6 +708,16 @@ def main(argv: Optional[list] = None) -> int:
             help="serve a trained REFERENCE checkpoint (model.state_dict() "
                  "as saved by reference train.py:84) instead of an orbax "
                  "checkpoint — ported via utils.torch_port")
+    sub.choices["export"].add_argument(
+        "--out", default=None, metavar="PATH.pth",
+        help="output file (default: '<results_dir>/Fold-<k> "
+             "saved_model.pth' — where the reference's evaluate.py:184 "
+             "and viz script look for it)")
+    sub.choices["export"].add_argument(
+        "--n_feat", type=int, default=4,
+        help="additional-feature count when --use_additional_feat (export "
+             "has no dataset to discover it from; reference data and the "
+             "synthetic path both carry 4)")
     sub.choices["eval"].add_argument(
         "--top_k", type=int, default=1,
         help="retrieval depth k of evaluate_model (reference "

@@ -259,6 +259,122 @@ def port_cova_state_dict(
     return params, stats
 
 
+def _np(x) -> np.ndarray:
+    """jax array / numpy -> float32 numpy (host fetch, no torch import)."""
+    return np.asarray(x, dtype=np.float32)
+
+
+def _inv_rows(kernel: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """Invert a row gather: port built ``ours[r] = torch_T[perm[r]]``, so
+    scatter back with ``torch_T[perm] = ours``."""
+    out = np.empty_like(kernel)
+    out[perm] = kernel
+    return out
+
+
+def export_cova_state_dict(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    use_context: bool = True,
+    bbox_hidden_dim: int = 32,
+    n_additional_feat: int = 0,
+    roi: int = 3,
+    backbone_channels: int = 64,
+):
+    """Our Flax CoVA trees -> a reference-format torch ``state_dict`` — the
+    exact inverse of ``port_cova_state_dict``, so a model trained HERE can be
+    loaded by the reference repo with ``model.load_state_dict(torch.load(p))``
+    (strict: every key the reference's modules own is emitted, including BN
+    ``num_batches_tracked``; reference module names per
+    ``/root/reference/models.py:48-90``).
+
+    Only the reference architecture exports: the truncated ResNet-18 stem
+    (``convnet.{0,1,4}``) with ``backbone_channels`` channels. Training-side
+    layout changes (W-packed layer1, s2d stem) don't matter here — the
+    STORED trees are layout-neutral (see ROADMAP: checkpoint-interchangeable).
+
+    Returns an ``OrderedDict[str, torch.Tensor]`` ready for ``torch.save``.
+    """
+    import collections
+
+    import torch
+
+    sd: "collections.OrderedDict[str, torch.Tensor]" = (
+        collections.OrderedDict()
+    )
+
+    def put(key: str, arr: np.ndarray) -> None:
+        # .copy(): jax host arrays are non-writable views; torch wants
+        # owned writable memory.
+        sd[key] = torch.from_numpy(np.ascontiguousarray(_np(arr)).copy())
+
+    def put_conv(key: str, kernel: np.ndarray) -> None:
+        put(key, _np(kernel).transpose(3, 2, 0, 1))  # HWIO -> OIHW
+
+    def put_linear(key_prefix: str, dense: Mapping[str, Any]) -> None:
+        put(f"{key_prefix}.weight", _np(dense["kernel"]).T)  # [I,O] -> [O,I]
+        put(f"{key_prefix}.bias", dense["bias"])
+
+    def put_bn(prefix: str, p: Mapping[str, Any], s: Mapping[str, Any]):
+        put(f"{prefix}.weight", p["scale"])
+        put(f"{prefix}.bias", p["bias"])
+        put(f"{prefix}.running_mean", s["mean"])
+        put(f"{prefix}.running_var", s["var"])
+        # The reference never consults the count (its BNs use the default
+        # running-average momentum), but strict load requires the key.
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(
+            0, dtype=torch.int64
+        )
+
+    cp, cs = params["convnet"], batch_stats["convnet"]
+    expect = {"Conv_0", "BatchNorm_0", "BasicBlock_0", "BasicBlock_1"}
+    assert set(cp.keys()) == expect, (
+        "export_cova_state_dict handles the reference's truncated "
+        f"ResNet-18 stem only; got convnet tree {sorted(cp.keys())}"
+    )
+    put_conv("convnet.0.weight", cp["Conv_0"]["kernel"])
+    put_bn("convnet.1", cp["BatchNorm_0"]["BatchNorm_0"],
+           cs["BatchNorm_0"]["BatchNorm_0"])
+    for blk in (0, 1):
+        bp, bs = cp[f"BasicBlock_{blk}"], cs[f"BasicBlock_{blk}"]
+        for ci, (cname, bname) in enumerate(
+            [("conv1", "bn1"), ("conv2", "bn2")]
+        ):
+            put_conv(f"convnet.4.{blk}.{cname}.weight",
+                     bp[f"Conv_{ci}"]["kernel"])
+            put_bn(f"convnet.4.{blk}.{bname}",
+                   bp[f"BatchNorm_{ci}"]["BatchNorm_0"],
+                   bs[f"BatchNorm_{ci}"]["BatchNorm_0"])
+
+    if bbox_hidden_dim > 0:
+        put_linear("bbox_feat_encoder.0", params["bbox_linear"]["Dense_0"])
+        put_bn("bbox_feat_encoder.1", params["bbox_bn"],
+               batch_stats["bbox_bn"])
+
+    if n_additional_feat > 0:
+        put_bn("bn_additional_feat", params["additional_bn"],
+               batch_stats["additional_bn"])
+
+    n_vis = backbone_channels * roi * roi
+    n_feat = n_vis + bbox_hidden_dim + n_additional_feat
+    perm = _visual_row_perm(n_feat, roi, backbone_channels)
+
+    if use_context:
+        gat = params["gat"]
+        put("gat.W_i.weight", _inv_rows(_np(gat["W_i"]["kernel"]), perm).T)
+        put("gat.W_j.weight", _inv_rows(_np(gat["W_j"]["kernel"]), perm).T)
+        put("gat.attention_layer.weight", _np(gat["att_w"]).T)
+        put("gat.attention_layer.bias", gat["att_b"])
+
+    dec = _np(params["decoder_hidden"]["Dense_0"]["kernel"])
+    dec_perm = np.concatenate([perm, np.arange(n_feat, dec.shape[0])])
+    put("decoder.1.weight", _inv_rows(dec, dec_perm).T)
+    put("decoder.1.bias", params["decoder_hidden"]["Dense_0"]["bias"])
+    put_bn("decoder.2", params["decoder_bn"], batch_stats["decoder_bn"])
+    put_linear("decoder.5", params["decoder_out"]["Dense_0"])
+    return sd
+
+
 def load_torch_file(path: str) -> Mapping[str, Any]:
     """Load a ``.pth`` state_dict (requires torch, CPU map)."""
     import torch
