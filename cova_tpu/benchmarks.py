@@ -161,6 +161,7 @@ def run_e2e_bench(
     compute_dtype: str = "bfloat16",
     num_threads: int = 0,
     source: str = "mem",
+    use_additional_feat: bool = False,
 ):
     """END-TO-END-FED training throughput: batches flow from the real host
     pipeline (``DataPipeline``, BG sampling + context build + padded
@@ -187,10 +188,13 @@ def run_e2e_bench(
     from .ops.vmem_fallback import with_vmem_fallback
     from .train.steps import create_train_state, train_step
 
+    n_af = 4 if use_additional_feat else 0
     cfg = Config(
         batch_size=batch_size,
         img_height=img_height,
         compute_dtype=compute_dtype,
+        use_additional_feat=use_additional_feat,
+        n_additional_feat=n_af,
     )
     threads = num_threads or min(8, os.cpu_count() or 1)
     tmpdir = None
@@ -204,14 +208,17 @@ def run_e2e_bench(
         ids = materialize(
             f"{tmpdir.name}/data", n_pages, img_height, seed=7,
             min_boxes=11, max_boxes=cfg.max_boxes,
+            n_additional_feat=n_af,
         )
         ds = WebDataset(
-            f"{tmpdir.name}/data", ids, img_size=img_height,
+            f"{tmpdir.name}/data", ids, use_additional_feat,
+            img_size=img_height,
             decode_cache_dir=f"{tmpdir.name}/cache",
         )
     else:
         ds = InMemoryWebDataset(
-            n_pages, img_height, seed=7, max_boxes=cfg.max_boxes
+            n_pages, img_height, seed=7, max_boxes=cfg.max_boxes,
+            n_additional_feat=n_af,
         )
     pipe = DataPipeline(
         ds,
@@ -292,12 +299,14 @@ def run_e2e_bench(
         batch_size=batch_size,
         img_height=img_height,
         compute_dtype=compute_dtype,
+        use_additional_feat=use_additional_feat,
     )
     return {
         "metric": "e2e_train_webpages_per_sec",
         "value": round(e2e_pages_per_sec, 2),
         "unit": "pages/s",
         "source": source,
+        "use_additional_feat": use_additional_feat,
         "epoch_seconds": round(dt, 2),
         "host_threads": threads,
         "compute_pages_per_sec": compute["value"],

@@ -648,6 +648,7 @@ def cmd_bench(args) -> int:
             img_height=args.img_height,
             compute_dtype=args.compute_dtype,
             source=args.e2e_source,
+            use_additional_feat=args.additional_feat,
             # None = not given -> run_e2e_bench's own default
             # (min(8, cpus)); an explicit -nw is honored.
             num_threads=args.num_workers or 0,

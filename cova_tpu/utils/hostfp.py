@@ -19,6 +19,7 @@ import platform
 def host_fingerprint() -> str:
     """Short stable hash of the host's CPU feature surface."""
     parts = [platform.machine(), platform.system()]
+    have_features = False
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -26,9 +27,22 @@ def host_fingerprint() -> str:
                 # 'Features' (arm) lists the instruction-set extensions.
                 if line.startswith(("flags", "Features")):
                     parts.append(line.strip())
+                    have_features = True
                     break
     except OSError:
         pass
+    if not have_features:
+        # No feature information (non-Linux, restricted /proc): two
+        # same-arch hosts with DIFFERENT feature sets would otherwise
+        # collide on hash(machine|system) — the exact mismatch/SIGILL
+        # hazard this module exists to prevent. Key by boot (cache reuse
+        # within one boot is safe: same CPU) or, failing that, by host
+        # name — cold across machines, never feature-mismatched.
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                parts.append(f.read().strip())
+        except OSError:
+            parts.append(platform.node() or "unknown-host")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 

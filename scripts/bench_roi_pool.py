@@ -93,7 +93,8 @@ cb_b = _pick_cb(
 print(
     f"B={B} C={C} HW={HW} P={P}: fwd cb={cb_f} "
     f"({_fwd_vmem_bytes(_hp, HW, cb_f, P, 9, 2, B, C, ranged=_ranged) / 1e6:.1f} MB), "
-    f"bwd cb={cb_b} ({_bwd_vmem_bytes(_hp, HW, cb_b, P, 9, 2) / 1e6:.1f} MB)"
+    f"bwd cb={cb_b} "
+    f"({_bwd_vmem_bytes(_hp, HW, cb_b, P, 9, 2, pyramid=_pyr) / 1e6:.1f} MB)"
 )
 
 

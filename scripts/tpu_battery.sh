@@ -21,8 +21,15 @@ run() { # name cmd...
 # makes every re-run warm (harmless no-op otherwise).
 # Host-keyed cache dir (utils/hostfp.py): avoids XLA's cross-machine
 # feature-mismatch hazard if /tmp/jax_cc ever lands on a shared FS.
-_fp=$(python -c "import sys; sys.path.insert(0, '$(dirname "$0")/..'); \
-from cova_tpu.utils.hostfp import host_fingerprint; print(host_fingerprint())")
+# (cwd is the repo root after the cd above; python -c adds cwd to sys.path)
+_fp=$(python -c "from cova_tpu.utils.hostfp import host_fingerprint; \
+print(host_fingerprint())") || _fp=""
+if [ -z "$_fp" ]; then
+  # Never fall back to the shared un-keyed dir the keying exists to avoid:
+  # a per-run dir is cold but safe.
+  _fp="nofp-$$"
+  echo "WARN: host fingerprint failed; using per-run cache dir $_fp" >&2
+fi
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cc/$_fp}
 # bench.py's internal retry must fit inside run()'s outer timeout:
 # 2 attempts x 2700 s + slack < 6000 s (default was 3 x 3000, which the
