@@ -21,17 +21,22 @@ from cova_tpu.utils.torch_port import (
 from test_torch_parity import RefCoVA
 
 
-def test_export_inverts_port():
+import pytest
+
+
+@pytest.mark.parametrize("n_af", [0, 4])  # base CoVA and CoVA++
+def test_export_inverts_port(n_af):
     """torch -> port -> export reproduces every reference tensor bitwise
     (f32), including the strict-load-required num_batches_tracked keys."""
     torch.manual_seed(1)
-    ref = RefCoVA(hidden=32, bbox_hidden=8)
+    ref = RefCoVA(hidden=32, bbox_hidden=8, n_additional_feat=n_af)
     sd0 = ref.state_dict()
     params, stats = port_cova_state_dict(
-        sd0, use_context=True, bbox_hidden_dim=8
+        sd0, use_context=True, bbox_hidden_dim=8, n_additional_feat=n_af
     )
     sd1 = export_cova_state_dict(
-        params, stats, use_context=True, bbox_hidden_dim=8
+        params, stats, use_context=True, bbox_hidden_dim=8,
+        n_additional_feat=n_af,
     )
     assert set(sd1.keys()) == set(sd0.keys())
     for k in sd0:

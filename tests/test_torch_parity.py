@@ -37,7 +37,8 @@ class Block(nn.Module):
 class RefCoVA(nn.Module):
     """Reference-shaped CoVA oracle (same state_dict key namespace)."""
 
-    def __init__(self, hidden=32, bbox_hidden=8, n_classes=4):
+    def __init__(self, hidden=32, bbox_hidden=8, n_classes=4,
+                 n_additional_feat=0):
         super().__init__()
         self.convnet = nn.Sequential(
             nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False),
@@ -49,7 +50,9 @@ class RefCoVA(nn.Module):
         self.bbox_feat_encoder = nn.Sequential(
             nn.Linear(5, bbox_hidden), nn.BatchNorm1d(bbox_hidden), nn.ReLU()
         )
-        n_feat = 64 * 9 + bbox_hidden
+        if n_additional_feat > 0:  # CoVA++ (reference models.py:72-75)
+            self.bn_additional_feat = nn.BatchNorm1d(n_additional_feat)
+        n_feat = 64 * 9 + bbox_hidden + n_additional_feat
 
         class GAT(nn.Module):
             def __init__(self):
