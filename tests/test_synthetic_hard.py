@@ -159,6 +159,31 @@ def test_hard_mode_boxes_respect_min_size_at_smoke_geometry():
         assert (rec.boxes_xywh[:, 2:] >= 2.0 - 1e-6).all()
 
 
+def test_hard_mode_additional_feat0_is_noisy_indicator():
+    """CoVA++ stand-in: hard-mode feature 0 = 1{class box} + 0.6*N(0,1) —
+    informative (AUC well above chance) but not decisive (overlap exists),
+    so --use_additional_feat lifts sweep scores without trivializing the
+    task. Easy mode keeps pure-noise features (unchanged contract)."""
+    pos, neg = [], []
+    for i in range(40):
+        rng = np.random.default_rng((13, i))
+        rec = synth_record(str(i), 320, rng, 60, 120, 4, hard=True)
+        f0 = rec.additional_feats[:, 0]
+        pos.extend(f0[rec.labels != 0])
+        neg.extend(f0[rec.labels == 0])
+    pos, neg = np.array(pos), np.array(neg)
+    auc = (pos[:, None] > neg[None, :]).mean()
+    assert 0.80 <= auc <= 0.95, auc
+    # Remaining columns stay ~N(0,1) noise.
+    rng = np.random.default_rng((13, 0))
+    rec = synth_record("0", 320, rng, 60, 120, 4, hard=True)
+    assert abs(rec.additional_feats[:, 1:].mean()) < 0.3
+
+    easy = synth_record("0", 320, np.random.default_rng((13, 0)), 60, 120,
+                        4, hard=False)
+    assert abs(easy.additional_feats[:, 0].mean()) < 0.3  # no indicator
+
+
 def test_hard_prior_draw_matches_membership():
     """A tight-prior draw must always be classified back to its own class
     by the widened membership test (the coloring rule covers the true
