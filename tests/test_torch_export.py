@@ -114,6 +114,37 @@ def test_exported_model_strict_loads_and_matches_logits():
     np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-4)
 
 
+def test_flax_init_with_additional_feats_exports_strict():
+    """A CoVA++ model initialized HERE (additional_bn tree) exports to a
+    state_dict that strict-loads into the reference-shaped torch model with
+    bn_additional_feat — the tree-naming direction the torch->flax->torch
+    inversion test cannot cover."""
+    cfg = Config(
+        img_height=64, max_boxes=8, context_size=3, hidden_dim=32,
+        bbox_hidden_dim=8, compute_dtype="float32",
+        use_additional_feat=True, n_additional_feat=4,
+    )
+    model = build_model(cfg)
+    P, K = cfg.pad_boxes, 2 * cfg.context_size
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+    boxes = np.tile(np.array([2.0, 2.0, 12.0, 12.0], np.float32),
+                    (1, P, 1))
+    mask = np.ones((1, P), bool)
+    ctx = np.full((1, P, K), -1, np.int32)
+    feats = rng.normal(size=(1, P, 4)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(2), images, boxes, mask, ctx, feats, train=False
+    )
+    sd = export_cova_state_dict(
+        jax.device_get(variables["params"]),
+        jax.device_get(variables["batch_stats"]),
+        use_context=True, bbox_hidden_dim=8, n_additional_feat=4,
+    )
+    ref = RefCoVA(hidden=32, bbox_hidden=8, n_additional_feat=4)
+    ref.load_state_dict(sd, strict=True)
+
+
 def test_cli_export_roundtrip(tmp_path):
     """`cova train` then `cova export`: the .pth lands at the reference's
     lookup path, strict-loads into the reference-shaped model, and serving
