@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 from ..data.batching import pad_batch
+from ..utils.logging import _is_primary
 from .steps import forward_step
 
 
@@ -44,9 +45,28 @@ def extract_attention(
     max_pages: Optional[int] = None,
 ):
     """Run the test split, writing per-page attention CSVs (and overlays)."""
+    # Eval-style pipelines are unsharded; under multi-host only process 0
+    # writes — others would race the same CSV/PNG paths on a shared FS
+    # (same guard as predict_pages / reporting.evaluate).
+    if not _is_primary():
+        return
     os.makedirs(out_dir, exist_ok=True)
     eval_bs = pipeline.batch_size
     n_done = 0
+
+    def done():
+        # The reference always announces the output dir + CSV layout
+        # (extract_attn_wts_and_visualize.py:158-164), including when the
+        # run is capped.
+        print(
+            "Extracted attention visualizations and weights for "
+            f"{n_done} images saved in {out_dir}"
+        )
+        print(
+            "CSV row layout: [4 bbox coords (x,y,w,h), label, "
+            "2K*4 context bbox coords, 2K attention weights]"
+        )
+
     for ids, batch in pipeline.epoch(epoch=0):
         real_b = batch.batch_size
         padded, _ = pad_batch(batch, eval_bs)
@@ -54,7 +74,7 @@ def extract_attention(
         attn = np.asarray(out.attn_wts)  # [B, P, K]
         for i in range(real_b):
             if max_pages is not None and n_done >= max_pages:
-                return
+                return done()
             page_id = ids[i]
             mask = np.asarray(batch.box_mask[i])
             labels = np.asarray(batch.labels[i])
@@ -86,7 +106,4 @@ def extract_attention(
                     out_dir,
                 )
             n_done += 1
-    print(
-        "Extracted attention visualizations and weights for all images "
-        f"saved in {out_dir}"
-    )
+    done()
