@@ -28,6 +28,14 @@ _WORKER_FLAG = "--worker"
 
 
 def _run_worker():
+    # Persistent compile cache, HOST-KEYED (utils/hostfp.py) and shared
+    # with scripts/tpu_battery.sh's location: the B=64 flagship fori-loop
+    # step costs ~10 min of XLA compile through the remote tunnel; a warm
+    # cache turns a repeat bench run into ~1 min.
+    from cova_tpu.utils.hostfp import ensure_default_compile_cache
+
+    ensure_default_compile_cache()
+
     from cova_tpu.benchmarks import run_train_bench
 
     result = run_train_bench(

@@ -51,3 +51,24 @@ def host_keyed_cache_dir(base: str) -> str:
     import os
 
     return os.path.join(base, host_fingerprint())
+
+
+def ensure_default_compile_cache(base: str = "/tmp/jax_cc") -> str:
+    """Default JAX's persistent compile cache to ``<base>/<fingerprint>``.
+
+    Shared location with scripts/tpu_battery.sh so battery, bench, and
+    driver entry runs warm each other: the B=64 flagship train step costs
+    ~10 min of XLA compile through the remote tunnel, ~1 min warm. An
+    explicit ``JAX_COMPILATION_CACHE_DIR`` in the environment wins; returns
+    the directory in effect.
+    """
+    import os
+
+    explicit = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if explicit:
+        return explicit
+    import jax
+
+    path = os.path.join(base, host_fingerprint())
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
