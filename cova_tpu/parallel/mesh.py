@@ -76,12 +76,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def eval_batch_sharding(mesh: Mesh, eval_batch_size: int) -> NamedSharding:
-    """Eval batches shard over data when the (reference-fixed, =10) eval
-    batch size divides; otherwise replicate — correct either way, the
-    sharded case just avoids redundant compute."""
-    if eval_batch_size % mesh.shape["data"] == 0:
-        return batch_sharding(mesh)
-    return replicated(mesh)
+    """Eval batches always shard over the data axis: ``run_eval`` pads each
+    eval batch up to the next data-degree multiple (masked pages are free),
+    so the reference-fixed eval bs=10 (``datasets.py:241,252``) shards on
+    every mesh. The pre-round-5 behavior replicated the whole batch on any
+    non-divisor mesh — correct, but on dp=8 every chip redid the full eval
+    forward; padding 10->16 runs 2 pages per chip instead."""
+    del eval_batch_size  # kept for call-site compatibility
+    return batch_sharding(mesh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

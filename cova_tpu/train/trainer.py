@@ -88,11 +88,21 @@ def run_eval(
     dispatch (``eval_chunk_step``): the reference dispatches one kernel
     launch per 10-page batch (``train.py:115-129``); here the per-dispatch
     round-trip amortizes over the chunk, and correctness fetches happen
-    once at the end of the epoch. The default is backend-aware
-    (``default_eval_chunk``: 8 on TPU, 1 on CPU — measured both ways).
+    lazily, bounded at ``PENDING_CAP`` in-flight chunks. The default chunk
+    is 1 everywhere (``default_eval_chunk``; measured flip in round 4 —
+    artifacts/tpu_r4/eval_chunk.out — chunk=1 4.65 s vs chunk=8 8.38 s on
+    the flagship config).
     """
     start = time.time()
     eval_bs = pipeline.batch_size
+    # When the state lives on a mesh, pad each eval batch up to the next
+    # data-degree multiple so the batch dim shards instead of replicating
+    # (padded pages are masked — free relative to every chip redoing the
+    # whole forward; reference-fixed eval bs=10 never divides dp=8).
+    pad_bs = eval_bs
+    if sharding is not None and sharding.spec and sharding.spec[0] is not None:
+        dp = sharding.mesh.shape[sharding.spec[0]]
+        pad_bs = -(-eval_bs // dp) * dp
     chunk = default_eval_chunk()
     rows: List[List[int]] = []
     pending = []  # ([(ids, b)], device correctness [G,B,C-1]) — fetch lazily
@@ -104,6 +114,27 @@ def run_eval(
             sharding.mesh, PartitionSpec(None, *sharding.spec)
         )
     multiprocess = jax.process_count() > 1
+
+    # Each flush leaves ONE device array pending ([G, B, C-1] bools — tiny,
+    # ~30 bytes at chunk=1/bs=10). Lazy fetching keeps dispatch pipelined
+    # through the tunnel, but an unbounded epoch would accumulate one live
+    # device buffer per chunk; cap the in-flight count — draining the
+    # OLDEST chunk is free, it finished long ago.
+    PENDING_CAP = 64
+
+    def drain(group, correct):
+        if isinstance(correct, jax.Array) and not correct.is_fully_addressable:
+            # Multi-host mesh with eval_batch_size % dp == 0: the chunk
+            # output stays batch-sharded across hosts; np.asarray cannot
+            # read non-addressable shards — gather the global value first
+            # (tiny: [G, B, C-1] bools).
+            from jax.experimental import multihost_utils
+
+            correct = multihost_utils.process_allgather(correct, tiled=True)
+        c_np = np.asarray(correct).astype(np.int32)  # [G, B, C-1]
+        for g, (ids, b) in enumerate(group):
+            for i, page_id in enumerate(ids[:b]):
+                rows.append([int(page_id)] + list(c_np[g, i]))
 
     def flush(buf):
         if not buf:
@@ -140,11 +171,13 @@ def run_eval(
             lambda: eval_chunk_step(state, stacked, n_classes=n_classes, k=k)
         )
         pending.append(([(ids, b) for ids, b, _ in buf], correct))
+        if len(pending) > PENDING_CAP:
+            drain(*pending.pop(0))
 
     buf = []
     for ids, batch in pipeline.epoch(epoch=0):
         b = batch.batch_size
-        batch, _ = pad_batch(batch, eval_bs)
+        batch, _ = pad_batch(batch, pad_bs)
         buf.append((ids, b, batch))
         if len(buf) == chunk:
             flush(buf)
@@ -152,20 +185,7 @@ def run_eval(
     flush(buf)
 
     for group, correct in pending:
-        if isinstance(correct, jax.Array) and not correct.is_fully_addressable:
-            # Multi-host mesh with eval_batch_size % dp == 0: the chunk
-            # output stays batch-sharded across hosts; np.asarray cannot
-            # read non-addressable shards — gather the global value first
-            # (tiny: [G, B, C-1] bools).
-            from jax.experimental import multihost_utils
-
-            correct = multihost_utils.process_allgather(
-                correct, tiled=True
-            )
-        c_np = np.asarray(correct).astype(np.int32)  # [G, B, C-1]
-        for g, (ids, b) in enumerate(group):
-            for i, page_id in enumerate(ids[:b]):
-                rows.append([int(page_id)] + list(c_np[g, i]))
+        drain(group, correct)
     if not rows:
         raise ValueError(
             f"{split_name} split is empty — check the fold dir / split "

@@ -53,20 +53,53 @@ def host_keyed_cache_dir(base: str) -> str:
     return os.path.join(base, host_fingerprint())
 
 
-def ensure_default_compile_cache(base: str = "/tmp/jax_cc") -> str:
+def default_cache_base() -> str:
+    """User-owned base directory for the persistent compile cache.
+
+    A predictable path under world-writable ``/tmp`` (the old default,
+    ``/tmp/jax_cc``) lets another local user pre-create the directory or
+    plant serialized XLA executables under the (computable) host
+    fingerprint, which JAX would deserialize and run. A home-keyed path is
+    private by construction.
+    """
+    import os
+
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "cova_tpu", "jax_cc"
+    )
+
+
+def ensure_default_compile_cache(base: str | None = None) -> str:
     """Default JAX's persistent compile cache to ``<base>/<fingerprint>``.
 
     Shared location with scripts/tpu_battery.sh so battery, bench, and
     driver entry runs warm each other: the B=64 flagship train step costs
     ~10 min of XLA compile through the remote tunnel, ~1 min warm. An
     explicit ``JAX_COMPILATION_CACHE_DIR`` in the environment wins; returns
-    the directory in effect.
+    the directory in effect. The base directory is created 0700 and must
+    be owned by the current user — if a pre-existing ``base`` fails that
+    check (symlink plant, other-owner dir), the cache is left disabled
+    rather than loading executables from an untrusted directory.
     """
     import os
 
     explicit = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if explicit:
         return explicit
+    if base is None:
+        base = default_cache_base()
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.lstat(base)
+        if not os.path.isdir(base) or os.path.islink(base):
+            raise OSError(f"{base} is not a real directory")
+        if hasattr(os, "geteuid") and st.st_uid != os.geteuid():
+            raise OSError(f"{base} is owned by uid {st.st_uid}, not us")
+    except OSError as e:
+        import warnings
+
+        warnings.warn(f"compile cache disabled: {e}", stacklevel=2)
+        return ""
     import jax
 
     path = os.path.join(base, host_fingerprint())

@@ -7,13 +7,15 @@ generation is pure RNG: threefry2x32 is serial-ish VPU work, while the
 'rbg' impl uses the hardware RNG for bits but keeps threefry for
 split/fold_in (stream-derivation quality unchanged).
 
+Numbers are dispatch-inclusive throughput: 50 jit calls are dispatched
+asynchronously and timed with one trailing block_until_ready, so the
+ms/step includes amortized Python dispatch, not isolated kernel latency.
+
 Usage: python scripts/bench_rng.py [B] [P] [F]
 """
 
 import sys
 import time
-
-sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +40,11 @@ def bench(name, key):
 
     out = body(key)
     out.block_until_ready()
-    t0 = time.time()
+    t0 = time.perf_counter()
     for _ in range(STEPS):
         out = body(key)
     out.block_until_ready()
-    ms = (time.time() - t0) / STEPS * 1e3
+    ms = (time.perf_counter() - t0) / STEPS * 1e3
     print(f"{name:10s} 2x bernoulli[{B},{P},{F}]: {ms:.3f} ms/step")
     return ms
 

@@ -20,17 +20,16 @@ run() { # name cmd...
 # 69-2211 s; if the PJRT plugin supports executable serialization this
 # makes every re-run warm (harmless no-op otherwise).
 # Host-keyed cache dir (utils/hostfp.py): avoids XLA's cross-machine
-# feature-mismatch hazard if /tmp/jax_cc ever lands on a shared FS.
+# feature-mismatch hazard, and lives under $HOME (0700) so no other local
+# user can pre-seed executables (see ensure_default_compile_cache).
 # (cwd is the repo root after the cd above; python -c adds cwd to sys.path)
-_fp=$(python -c "from cova_tpu.utils.hostfp import host_fingerprint; \
-print(host_fingerprint())") || _fp=""
-if [ -z "$_fp" ]; then
-  # Never fall back to the shared un-keyed dir the keying exists to avoid:
-  # a per-run dir is cold but safe.
-  _fp="nofp-$$"
-  echo "WARN: host fingerprint failed; using per-run cache dir $_fp" >&2
+_cc=$(python -c "from cova_tpu.utils.hostfp import ensure_default_compile_cache as e; \
+import sys; p=e(); print(p) if p else sys.exit(1)") || _cc=""
+if [ -n "$_cc" ]; then
+  export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$_cc}
+else
+  echo "WARN: compile cache unavailable; runs will compile cold" >&2
 fi
-export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cc/$_fp}
 # bench.py's internal retry must fit inside run()'s outer timeout:
 # 2 attempts x 2700 s + slack < 6000 s (default was 3 x 3000, which the
 # old outer timeout 3000 killed before any retry could run).

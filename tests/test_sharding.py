@@ -116,6 +116,43 @@ def test_batch_sharding_layout(small_cfg):
     )
 
 
+def test_eval_shards_on_non_divisor_mesh(small_cfg):
+    """Reference-fixed eval bs=10 on a dp=8 mesh (VERDICT r4 item 7): eval
+    batches pad to the next dp multiple (10->16, masked pages) so the batch
+    dim SHARDS instead of replicating the whole forward per chip — and the
+    result is identical to the unsharded run."""
+    from cova_tpu.data.pipeline import DataPipeline
+    from cova_tpu.data.synthetic import InMemoryWebDataset
+    from cova_tpu.parallel.mesh import eval_batch_sharding
+    from cova_tpu.train.trainer import run_eval
+
+    cfg = small_cfg
+    ds = InMemoryWebDataset(13, cfg.img_height, seed=7,
+                            max_boxes=cfg.max_boxes)
+    pipe = DataPipeline(ds, batch_size=10, pad_boxes=cfg.pad_boxes,
+                        context_size=cfg.context_size, shuffle=False,
+                        num_threads=2)
+    model = build_model(cfg)
+    _, ex = next(iter(pipe.epoch(0)))
+    state = create_train_state(model, cfg, ex, jax.random.PRNGKey(0))
+
+    img_ref, cls_ref = run_eval(
+        state, pipe, cfg.n_classes, ("BG", "Price", "Title", "Image")
+    )
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharding = eval_batch_sharding(mesh, pipe.batch_size)
+    # Always data-sharded now — no replicate fallback on non-divisors.
+    assert sharding.spec and sharding.spec[0] == "data"
+    state_m = jax.device_put(state, state_shardings(state, mesh))
+    img_m, cls_m = run_eval(
+        state_m, pipe, cfg.n_classes, ("BG", "Price", "Title", "Image"),
+        sharding=sharding,
+    )
+    np.testing.assert_array_equal(img_ref, img_m)
+    np.testing.assert_array_equal(cls_ref, cls_m)
+
+
 def test_param_shardings_replicate_small(small_cfg):
     mesh = make_mesh(n_data=4, n_model=2)
     rng = np.random.default_rng(3)
