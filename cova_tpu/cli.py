@@ -311,7 +311,45 @@ def cmd_train(args) -> int:
         os.path.join(cfg.results_dir, "fold_wise_acc.csv"),
         cfg.cv_fold, val_acc, class_acc, macro_acc,
     )
+    if args.synthetic and getattr(args, "synthetic_hard", False):
+        _append_oracle_row(cfg, test_ds, log_file)
     return 0
+
+
+def _append_oracle_row(cfg, test_ds, log_file) -> None:
+    """Hard-synthetic calibration (VERDICT r4 item 2): score this fold's
+    test split with the generator's own Bayes rule and record the ceiling
+    BAND next to the model's scores — 'latent' reads the assigned box
+    colors (upper bound: what any model could reach with perfect
+    observation), 'visible' re-estimates colors from the rendered pixels
+    (a pixels-only decision rule; occlusion folds in, so it lower-bounds
+    the pixel-Bayes ceiling). A model score inside the band is at the
+    task ceiling; below the visible line it underfits."""
+    from .data.synthetic import oracle_retrieval_correct
+    from .utils.logging import _is_primary, print_and_log
+
+    if not _is_primary():
+        return
+    lat = oracle_retrieval_correct(test_ds).mean(axis=0) * 100
+    vis = oracle_retrieval_correct(test_ds, visible=True).mean(axis=0) * 100
+    for name, acc in (("latent", lat), ("visible", vis)):
+        print_and_log(
+            "[ORACLE %s] Price: %.2f%% Title: %.2f%% Image: %.2f%%"
+            % (name, acc[0], acc[1], acc[2]),
+            log_file,
+        )
+    path = os.path.join(cfg.results_dir, "oracle_acc.csv")
+    new = not os.path.isfile(path)
+    with open(path, "a") as f:
+        if new:
+            f.write(
+                "fold,price_latent,title_latent,image_latent,"
+                "price_visible,title_visible,image_visible\n"
+            )
+        f.write(
+            "%d,%.2f,%.2f,%.2f,%.2f,%.2f,%.2f\n"
+            % (cfg.cv_fold, *lat, *vis)
+        )
 
 
 def _restore_best(cfg, state, torch_model=None):
@@ -599,6 +637,30 @@ def sweep_summary(fold_wise_acc_file: str, folds) -> Optional[str]:
             for name, c in zip(("Price", "Title", "Image"), cols)
         ]
         lines.append(f"{label}: " + " | ".join(parts))
+    # Hard-synthetic runs also record the oracle ceiling band per fold
+    # (oracle_acc.csv, _append_oracle_row): aggregate it the same way so
+    # the summary shows model vs ceiling side by side.
+    oracle_path = os.path.join(
+        os.path.dirname(fold_wise_acc_file), "oracle_acc.csv"
+    )
+    if os.path.isfile(oracle_path):
+        orows = np.loadtxt(
+            oracle_path, delimiter=",", skiprows=1, ndmin=2
+        )
+        o_by_fold = {int(r[0]): r for r in orows}
+        o_got = [o_by_fold[f] for f in folds if f in o_by_fold]
+        if o_got:
+            oacc = np.stack(o_got)
+            for label, cols in (
+                ("oracle latent", (1, 2, 3)),
+                ("oracle visible", (4, 5, 6)),
+            ):
+                parts = [
+                    "%s %.1f ± %.1f"
+                    % (name, oacc[:, c].mean(), oacc[:, c].std())
+                    for name, c in zip(("Price", "Title", "Image"), cols)
+                ]
+                lines.append(f"{label}: " + " | ".join(parts))
     return "\n".join(lines) + "\n"
 
 

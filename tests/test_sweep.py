@@ -29,6 +29,35 @@ def test_sweep_summary_last_row_per_fold_wins(tmp_path):
     assert sweep_summary(p, [4]) is None
 
 
+def test_sweep_hard_writes_oracle_band(tmp_path):
+    """Hard-synthetic sweeps record the Bayes-oracle ceiling band next to
+    the model scores (VERDICT r4 item 2): oracle_acc.csv per fold +
+    'oracle latent/visible' lines in sweep_summary.txt."""
+    out = str(tmp_path / "res")
+    rc = main([
+        "sweep", "--synthetic", "12", "--synthetic_hard",
+        "--img_height", "64",
+        "-bs", "4", "-cs", "3", "-hd", "32", "-bbhd", "8", "-e", "1",
+        "--compute_dtype", "float32", "-nw", "2",
+        "--output_dir", out, "--folds", "1",
+    ])
+    assert rc == 0
+    rd = os.path.join(
+        out,
+        "lr-5e-04 batch-4 cs-3 hd-32 roi-3 bbhd-8 af-0 wd-1e-03 "
+        "dp-0.2 sf-0.9",
+    )
+    orows = np.loadtxt(
+        os.path.join(rd, "oracle_acc.csv"),
+        delimiter=",", skiprows=1, ndmin=2,
+    )
+    assert orows.shape == (1, 7)
+    assert int(orows[0, 0]) == 1
+    assert np.all(orows[0, 1:] >= 0) and np.all(orows[0, 1:] <= 100)
+    text = open(os.path.join(rd, "sweep_summary.txt")).read()
+    assert "oracle latent:" in text and "oracle visible:" in text
+
+
 def test_sweep_cli_writes_summary(tmp_path):
     out = str(tmp_path / "res")
     rc = main([
