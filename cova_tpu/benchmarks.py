@@ -49,6 +49,8 @@ def run_train_bench(
     compute_dtype: str = "bfloat16",
     windows: int = 3,
     use_additional_feat: bool = False,
+    backbone: str = "resnet18_stem",
+    context_size: int = 12,
 ):
     import jax
 
@@ -69,6 +71,8 @@ def run_train_bench(
         compute_dtype=compute_dtype,
         use_additional_feat=use_additional_feat,
         n_additional_feat=n_af,
+        backbone=backbone,
+        context_size=context_size,
     )
     model = build_model(cfg)
 
@@ -149,6 +153,8 @@ def run_train_bench(
         "img_height": img_height,
         "compute_dtype": compute_dtype,
         "use_additional_feat": use_additional_feat,
+        "backbone": backbone,
+        "context_size": context_size,
         "device": str(jax.devices()[0]),
     }
 
@@ -325,6 +331,8 @@ def run_infer_bench(
     compute_dtype: str = "bfloat16",
     windows: int = 3,
     use_additional_feat: bool = False,
+    backbone: str = "resnet18_stem",
+    context_size: int = 12,
 ):
     """Serving throughput: forward-only (eval mode, running BN stats),
     logits for every box on the page — the deployment path of ``cova
@@ -349,6 +357,8 @@ def run_infer_bench(
         compute_dtype=compute_dtype,
         use_additional_feat=use_additional_feat,
         n_additional_feat=n_af,
+        backbone=backbone,
+        context_size=context_size,
     )
     model = build_model(cfg)
     imgs, pages = [], []
@@ -439,5 +449,7 @@ def run_infer_bench(
         "img_height": img_height,
         "compute_dtype": compute_dtype,
         "use_additional_feat": use_additional_feat,
+        "backbone": backbone,
+        "context_size": context_size,
         "device": str(jax.devices()[0]),
     }

@@ -720,7 +720,14 @@ def cmd_bench(args) -> int:
             fn = benchmarks.run_infer_bench
         else:
             fn = benchmarks.run_train_bench
-        kw = {"use_additional_feat": args.additional_feat}
+        kw = {
+            "use_additional_feat": args.additional_feat,
+            # Stretch-config knobs (BASELINE.json configs[4]: RN50
+            # backbone, 2x-res screenshots, larger K context): the bench
+            # honors the same --backbone/-cs flags as `cova train`.
+            "backbone": args.backbone,
+            "context_size": args.context_size,
+        }
         result = fn(
             batch_size=bs,
             steps=args.steps,

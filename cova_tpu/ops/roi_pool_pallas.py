@@ -213,7 +213,8 @@ def _fwd_kernel(
 
 
 def _fwd_kernel_ranged(
-    bounds_s, fm_ref, out_ref, m1_ref, *, h, cb, out_h, out_w
+    bounds_s, fm_ref, out_ref, m1_ref, *, h, cb, out_h, out_w,
+    edge_rows=False,
 ):
     """Ranged-walk forward variant (``COVA_ROI_FWD=ranged``): per-program
     chunk-max pyramid + per-bin-row range decomposition.
@@ -270,20 +271,43 @@ def _fwd_kernel_ranged(
                 nreds = list(reds)
                 for i in range(out_h):
                     lo, hi = ylo[i], yhi[i]
-
-                    def edge(c):
-                        y0e = pl.multiple_of(c * _CHUNK, _CHUNK)
-                        slab = fm_ref[
-                            0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
-                        ].astype(jnp.float32)
-                        ym = (row_y + y0e >= lo) & (row_y + y0e < hi)
-                        return jnp.max(jnp.where(ym, slab, neg), axis=0)
-
-                    ct = jnp.clip(lo // _CHUNK, 0, n_chunks - 1)
-                    cbm = jnp.clip((hi - 1) // _CHUNK, 0, n_chunks - 1)
-                    acc = jnp.maximum(edge(ct), edge(cbm))
                     ilo = (lo + _CHUNK - 1) // _CHUNK
                     ihi = hi // _CHUNK  # exclusive; <= ilo -> no-op loop
+
+                    if edge_rows:
+                        # COVA_ROI_EDGE=rows: visit only the bin's IN-BIN
+                        # edge rows, one [cb, 128] load+max per row,
+                        # instead of two row-masked [_CHUNK, cb, 128]
+                        # slab maxes. Edge rows per bin are exactly
+                        # [lo, top_hi) and [bot_lo, hi) — disjoint, and
+                        # together with the interior chunks they tile
+                        # the bin with no duplicate row.
+                        top_hi = jnp.minimum(hi, ilo * _CHUNK)
+                        bot_lo = jnp.maximum(top_hi, ihi * _CHUNK)
+
+                        def rbody(r, a):
+                            return jnp.maximum(
+                                a,
+                                fm_ref[
+                                    0, 0, pl.ds(r, 1), :, pl.ds(x0, 128)
+                                ][0].astype(jnp.float32),
+                            )
+
+                        acc = jnp.full((cb, 128), neg, jnp.float32)
+                        acc = jax.lax.fori_loop(lo, top_hi, rbody, acc)
+                        acc = jax.lax.fori_loop(bot_lo, hi, rbody, acc)
+                    else:
+                        def edge(c):
+                            y0e = pl.multiple_of(c * _CHUNK, _CHUNK)
+                            slab = fm_ref[
+                                0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
+                            ].astype(jnp.float32)
+                            ym = (row_y + y0e >= lo) & (row_y + y0e < hi)
+                            return jnp.max(jnp.where(ym, slab, neg), axis=0)
+
+                        ct = jnp.clip(lo // _CHUNK, 0, n_chunks - 1)
+                        cbm = jnp.clip((hi - 1) // _CHUNK, 0, n_chunks - 1)
+                        acc = jnp.maximum(edge(ct), edge(cbm))
 
                     def ibody(c, a):
                         return jnp.maximum(
@@ -496,7 +520,7 @@ def _col_groups(out_w: int):
 
 def _bwd_kernel_pyramid(
     bounds_s, fm_ref, out_ref, g_ref, dfm_ref, m1_ref, gb_ref,
-    *, h, cb, out_h, out_w
+    *, h, cb, out_h, out_w, edge_rows=False
 ):
     """Pyramid-routed backward (``COVA_ROI_BWD=pyramid``): height-
     independent per-box cost, like the ranged forward.
@@ -604,41 +628,77 @@ def _bwd_kernel_pyramid(
                     ilo = (lo + _CHUNK - 1) // _CHUNK
                     ihi = hi // _CHUNK  # exclusive interior end
 
-                    def edge_visit(c, i=i):
-                        y0e = pl.multiple_of(c * _CHUNK, _CHUNK)
-                        slab = fm_ref[
-                            0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
-                        ].astype(jnp.float32)
-                        ym = (row_y + y0e >= lo) & (row_y + y0e < hi)
-                        rows = jnp.where(ym, slab, neg)
-                        add = jnp.zeros((_CHUNK, cb, 128), jnp.float32)
-                        for pool_g, g_g in grp[i]:
-                            add = add + jnp.where(
-                                rows == pool_g, g_g, 0.0
-                            )
-                        cur = dfm_ref[
-                            0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
-                        ]
-                        dfm_ref[
-                            0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
-                        ] = cur + add.astype(dfm_ref.dtype)
+                    if edge_rows:
+                        # COVA_ROI_EDGE=rows: visit only the IN-BIN rows
+                        # of the (up to two) partial edge chunks, one
+                        # [1, cb, 128] compare+RMW per row, instead of a
+                        # row-masked [_CHUNK, cb, 128] slab visit. Row
+                        # ranges [lo, top_hi) and [bot_lo, hi) tile the
+                        # bin exactly against the interior chunks (same
+                        # decomposition as the ranged forward), so each
+                        # in-bin row is visited once; accumulation
+                        # semantics (direct edge adds + routed interior
+                        # adds resolved by the final sweep) are
+                        # unchanged.
+                        top_hi = jnp.minimum(hi, ilo * _CHUNK)
+                        bot_lo = jnp.maximum(top_hi, ihi * _CHUNK)
 
-                    # A chunk is an EDGE iff it intersects the bin but is
-                    # not in the interior range [ilo, ihi): the top chunk
-                    # whenever it is partial, the bottom chunk when it is
-                    # partial AND distinct from the top (a single-chunk
-                    # bin gets one visit whose row mask covers both ends).
-                    top_partial = (et < ilo) | (et >= ihi)
+                        def rbody(r, a, i=i):
+                            rowv = fm_ref[
+                                0, 0, pl.ds(r, 1), :, pl.ds(x0, 128)
+                            ].astype(jnp.float32)
+                            add = jnp.zeros((1, cb, 128), jnp.float32)
+                            for pool_g, g_g in grp[i]:
+                                add = add + jnp.where(
+                                    rowv == pool_g, g_g, 0.0
+                                )
+                            cur = dfm_ref[
+                                0, 0, pl.ds(r, 1), :, pl.ds(x0, 128)
+                            ]
+                            dfm_ref[
+                                0, 0, pl.ds(r, 1), :, pl.ds(x0, 128)
+                            ] = cur + add.astype(dfm_ref.dtype)
+                            return a
 
-                    @pl.when(nonempty & top_partial)
-                    def _():
-                        edge_visit(et)
+                        jax.lax.fori_loop(lo, top_hi, rbody, 0)
+                        jax.lax.fori_loop(bot_lo, hi, rbody, 0)
+                    else:
+                        def edge_visit(c, i=i):
+                            y0e = pl.multiple_of(c * _CHUNK, _CHUNK)
+                            slab = fm_ref[
+                                0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
+                            ].astype(jnp.float32)
+                            ym = (row_y + y0e >= lo) & (row_y + y0e < hi)
+                            rows = jnp.where(ym, slab, neg)
+                            add = jnp.zeros((_CHUNK, cb, 128), jnp.float32)
+                            for pool_g, g_g in grp[i]:
+                                add = add + jnp.where(
+                                    rows == pool_g, g_g, 0.0
+                                )
+                            cur = dfm_ref[
+                                0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
+                            ]
+                            dfm_ref[
+                                0, 0, pl.ds(y0e, _CHUNK), :, pl.ds(x0, 128)
+                            ] = cur + add.astype(dfm_ref.dtype)
 
-                    bot_partial = ((eb < ilo) | (eb >= ihi)) & (eb != et)
+                        # A chunk is an EDGE iff it intersects the bin but
+                        # is not in the interior range [ilo, ihi): the top
+                        # chunk whenever it is partial, the bottom chunk
+                        # when it is partial AND distinct from the top (a
+                        # single-chunk bin gets one visit whose row mask
+                        # covers both ends).
+                        top_partial = (et < ilo) | (et >= ihi)
 
-                    @pl.when(nonempty & bot_partial)
-                    def _():
-                        edge_visit(eb)
+                        @pl.when(nonempty & top_partial)
+                        def _():
+                            edge_visit(et)
+
+                        bot_partial = ((eb < ilo) | (eb >= ihi)) & (eb != et)
+
+                        @pl.when(nonempty & bot_partial)
+                        def _():
+                            edge_visit(eb)
 
                     def ibody(c, a, i=i):
                         m1r = m1_ref[pl.ds(c, 1), :, pl.ds(x0, 128)]
@@ -853,6 +913,15 @@ def _roi_pool_fwd_impl(
     # fold's 8x less vector work wins everywhere else. COVA_ROI_FWD=walk
     # restores the plain walk.
     ranged = os.environ.get("COVA_ROI_FWD", "ranged") == "ranged"
+    # COVA_ROI_EDGE: per-row edge treatment (the round-4 "cheaper edge-
+    # chunk" lever). Measured on chip (v5e, B=8 C=64 HW=320 P=232,
+    # artifacts/tpu_r5/roi_edge_ab.out): FORWARD is neutral-to-negative
+    # (small 2.99->2.87, real 3.32->3.28, tall 4.40->4.49 ms — the row
+    # loop's per-iteration overhead beats the vectorized slab max once
+    # edges near _CHUNK rows), so the forward default stays "slab"; the
+    # BACKWARD wins 15-18% on every mix, so its default is "rows" (see
+    # _roi_pool_bwd_impl). An explicit env value applies to both.
+    edge_rows = os.environ.get("COVA_ROI_EDGE", "slab") == "rows"
     cb = _pick_cb(
         c,
         lambda cb: _fwd_vmem_bytes(
@@ -871,7 +940,7 @@ def _roi_pool_fwd_impl(
         functools.partial(
             kernel,
             cb=cb, out_h=out_h, out_w=out_w,
-            **({"h": hp} if ranged else {}),
+            **({"h": hp, "edge_rows": edge_rows} if ranged else {}),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -907,6 +976,14 @@ def _roi_pool_bwd_impl(
     # tall-heavy mixes that dominate training cost (numbers alongside the
     # fwd measurements above). COVA_ROI_BWD=walk restores the plain walk.
     pyramid = os.environ.get("COVA_ROI_BWD", "pyramid") == "pyramid"
+    # Backward edge default is "rows": measured fwd+bwd on chip
+    # (artifacts/tpu_r5/roi_edge_ab.out) — small 6.48->5.31, real
+    # 7.34->6.06, tall 11.17->9.55 ms — per-row edge visits beat the
+    # row-masked slab RMW on every box mix (the bwd slab visit pays a
+    # full [_CHUNK, cb, 128] read+compare+write; most bins have 1-3
+    # in-bin edge rows). See the forward impl's note for why the fwd
+    # default differs.
+    edge_rows = os.environ.get("COVA_ROI_EDGE", "rows") == "rows"
     # Smaller channel blocks than forward: the bwd holds fm AND dfm slabs.
     cb = _pick_cb(
         c, lambda cb: _bwd_vmem_bytes(
@@ -926,7 +1003,8 @@ def _roi_pool_bwd_impl(
     )
     dfm_t = pl.pallas_call(
         functools.partial(
-            kernel, h=hp, cb=cb, out_h=out_h, out_w=out_w
+            kernel, h=hp, cb=cb, out_h=out_h, out_w=out_w,
+            **({"edge_rows": edge_rows} if pyramid else {}),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -63,9 +63,12 @@ def test_odd_channel_count_uses_smaller_blocks():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
-@pytest.mark.parametrize("bwd", ["walk", "pyramid"])
-def test_backward_matches_xla_grad(bwd, monkeypatch):
+@pytest.mark.parametrize(
+    "bwd,edge", [("walk", "slab"), ("pyramid", "slab"), ("pyramid", "rows")]
+)
+def test_backward_matches_xla_grad(bwd, edge, monkeypatch):
     monkeypatch.setenv("COVA_ROI_BWD", bwd)
+    monkeypatch.setenv("COVA_ROI_EDGE", edge)
     rng = np.random.default_rng(4)
     fm, boxes, mask = _case(rng, B=1, P=6)
     fmj, bj, mj = jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask)
@@ -82,6 +85,57 @@ def test_backward_matches_xla_grad(bwd, monkeypatch):
     d_xla = np.asarray(jax.grad(loss_xla)(fmj))
     # XLA's max-grad splits evenly among ties; the kernel gives each tie the
     # full cotangent; random f32 maps have no ties, so they must agree.
+    np.testing.assert_allclose(d_pallas, d_xla, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_edge_rows_forward_matches_oracle(seed, monkeypatch):
+    """COVA_ROI_EDGE=rows (round-5 edge-chunk lever): per-row edge visits
+    in the ranged forward must be exact — the [lo, top_hi) / [bot_lo, hi)
+    row ranges tile each bin against the interior chunks with no
+    duplicate and no gap. Covers sub-chunk bins (edge-only), chunk-
+    aligned bins (interior-only), and bins with both."""
+    monkeypatch.setenv("COVA_ROI_FWD", "ranged")
+    monkeypatch.setenv("COVA_ROI_EDGE", "rows")
+    rng = np.random.default_rng(seed)
+    fm, boxes, mask = _case(rng, B=2, H=48, W=32, C=8, P=12, img=192)
+    # Mix in chunk-aligned and tall boxes like the ranged/pyramid tests.
+    boxes[0, 0] = [0, 0, 128, 188]      # tall, nearly full height
+    boxes[0, 1] = [0, 32, 64, 96]       # bins land on chunk boundaries
+    boxes[0, 2] = [4, 4, 10, 10]        # sub-chunk: edges only
+    got = np.asarray(
+        roi_pool_pallas(
+            jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask),
+            0.25, 3, 3, True,
+        )
+    )
+    want = roi_pool_reference(fm, boxes, spatial_scale=0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_edge_rows_backward_matches_xla_grad(seed, monkeypatch):
+    """COVA_ROI_EDGE=rows backward: direct per-row edge RMWs + routed
+    interior adds must reproduce the XLA gradient exactly (tie-free)."""
+    monkeypatch.setenv("COVA_ROI_BWD", "pyramid")
+    monkeypatch.setenv("COVA_ROI_EDGE", "rows")
+    rng = np.random.default_rng(10 + seed)
+    fm, boxes, mask = _case(rng, B=1, H=48, W=32, C=8, P=8, img=192)
+    boxes[0, 0] = [0, 0, 128, 188]
+    boxes[0, 1] = [0, 32, 64, 96]
+    boxes[0, 2] = [4, 4, 10, 10]
+    fmj, bj, mj = jnp.asarray(fm), jnp.asarray(boxes), jnp.asarray(mask)
+    g = rng.normal(size=(1, 8, 3, 3, 8)).astype(np.float32)
+    gj = jnp.asarray(g)
+
+    def loss_pallas(f):
+        return jnp.sum(roi_pool_pallas(f, bj, mj, 0.25, 3, 3, True) * gj)
+
+    def loss_xla(f):
+        return jnp.sum(roi_pool(f, bj, spatial_scale=0.25) * gj)
+
+    d_pallas = np.asarray(jax.grad(loss_pallas)(fmj))
+    d_xla = np.asarray(jax.grad(loss_xla)(fmj))
     np.testing.assert_allclose(d_pallas, d_xla, rtol=1e-5, atol=1e-6)
 
 
@@ -160,9 +214,12 @@ def test_multi_window_boxes(seed):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("bwd", ["walk", "pyramid"])
-def test_multi_window_backward(bwd, monkeypatch):
+@pytest.mark.parametrize(
+    "bwd,edge", [("walk", "slab"), ("pyramid", "slab"), ("pyramid", "rows")]
+)
+def test_multi_window_backward(bwd, edge, monkeypatch):
     monkeypatch.setenv("COVA_ROI_BWD", bwd)
+    monkeypatch.setenv("COVA_ROI_EDGE", edge)
     rng = np.random.default_rng(7)
     B, H, W, C = 1, 16, 320, 4
     n = B * H * W * C
