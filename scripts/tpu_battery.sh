@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-4 on-chip measurement battery. Run when the TPU tunnel is up.
-# Each step appends its tail to artifacts/tpu_r4/; safe to re-run.
+# Round-5 on-chip measurement battery. Run when the TPU tunnel is up.
+# Each step appends its tail to artifacts/tpu_r5/; safe to re-run.
 set -u
 cd "$(dirname "$0")/.."
-OUT=artifacts/tpu_r4
+OUT=artifacts/tpu_r5
 mkdir -p "$OUT"
 
 run() { # name cmd...
@@ -44,15 +44,17 @@ run infer_b32    python -m cova_tpu.cli bench --mode infer -bsb 32
 run infer_b1     python -m cova_tpu.cli bench --mode infer -bsb 1
 run e2e_disk     python -m cova_tpu.cli bench --mode e2e --e2e_source disk -bsb 8
 run eval_chunk   python scripts/measure_eval_chunk.py --pages 40
-# RoIPool A/Bs. Round-4 defaults are fwd=ranged + bwd=pyramid; measure
-# the pyramid-routed backward (COVA_ROI_BWD, r4 redesign) against the
-# walk on all three mixes, and keep one fwd walk/ranged pair for drift.
+# RoIPool A/Bs. Round-5 defaults are fwd=ranged(slab edges) +
+# bwd=pyramid(row edges); measure the edge treatment (COVA_ROI_EDGE, r5
+# lever) on all three mixes, and keep one bwd walk + fwd walk pair for
+# drift.
 run roi_small         python scripts/bench_roi_pool.py 8 64 320 small
-run roi_small_bwalk   env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 small
+run roi_small_eslab   env COVA_ROI_EDGE=slab python scripts/bench_roi_pool.py 8 64 320 small
 run roi_real          python scripts/bench_roi_pool.py 8 64 320 real
-run roi_real_bwalk    env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 real
+run roi_real_eslab    env COVA_ROI_EDGE=slab python scripts/bench_roi_pool.py 8 64 320 real
 run roi_tall          python scripts/bench_roi_pool.py 8 64 320 tall
-run roi_tall_bwalk    env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 tall
+run roi_tall_eslab    env COVA_ROI_EDGE=slab python scripts/bench_roi_pool.py 8 64 320 tall
+run roi_real_bwalk    env COVA_ROI_BWD=walk python scripts/bench_roi_pool.py 8 64 320 real
 run roi_real_fwalk    env COVA_ROI_FWD=walk python scripts/bench_roi_pool.py 8 64 320 real
 # Compiled-kernel numerics vs the XLA reference (the pytest oracles run
 # interpret mode only — this checks the MOSAIC lowering the chip runs).
@@ -63,9 +65,12 @@ run parity_flagship   python scripts/parity_flagship.py 2
 # CoVA++ (--use_additional_feat — the reference's best published config,
 # utils.py:23-25): whole-step bench datapoint with the feature path on.
 run bench_af          python -m cova_tpu.cli bench --mode train -bsb 8 --use_additional_feat
-# Stretch config (2560px, B=2): round-2 measured 78.0 ms/step before the
-# W-packed layer1 landed — re-measure post-packing (CLI bench: step_ms
-# lands in the JSON).
+# Stretch configs. 'stretch' is the historical 2560px/RN18-stem point
+# (comparable to rounds 2-4); 'stretch_full' is the BASELINE.json
+# configs[4] stretch AS DEFINED — ResNet-50 backbone, 2x-res
+# screenshots, larger K context (VERDICT r4 item 3; the config string
+# lands in the JSON via backbone/context_size fields).
 run stretch           python -m cova_tpu.cli bench --mode train -bsb 2 --img_height 2560
+run stretch_full      python -m cova_tpu.cli bench --mode train -bsb 2 --img_height 2560 --backbone resnet50 -cs 24
 
 python scripts/summarize_battery.py "$OUT" | tee "$OUT/SUMMARY.txt"
