@@ -291,9 +291,29 @@ def cmd_train(args) -> int:
 
     ckpt = CheckpointManager(cfg.ckpt_dir())
     metrics = MetricsLogger(os.path.join(cfg.results_dir, "metrics.jsonl"))
+
+    # RSS watchdog (utils/rss.py: the tunnel transfer path retains
+    # ~payload bytes per dispatch in host RSS; corpus folds grow
+    # ~4-5 GB/epoch). At an epoch boundary past the limit, re-exec this
+    # exact command with --resume: "last" was just checkpointed and the
+    # per-epoch fold_in streams make the resumed run bit-identical to an
+    # uninterrupted one. Single-process only — on a pod every host would
+    # have to recycle in lockstep, which needs an orchestrator, not exec.
+    on_rss_limit = None
+    if not distributed.is_multiprocess():
+
+        def on_rss_limit(epoch):  # noqa: F811  (not reached in tests)
+            argv = [sys.executable, "-m", "cova_tpu.cli"] + sys.argv[1:]
+            if "--resume" not in argv:
+                argv.append("--resume")
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, argv)
+
     state, val_acc = fit(
         state, cfg, train_p, val_p, ckpt, log_file, metrics,
         class_names=CLASS_NAMES, resume=args.resume, mesh=mesh,
+        on_rss_limit=on_rss_limit,
     )
 
     imgwise = os.path.join(

@@ -220,6 +220,7 @@ def fit(
     class_names=("BG", "Price", "Title", "Image"),
     resume: bool = False,
     mesh=None,
+    on_rss_limit=None,
 ) -> Tuple[TrainState, float]:
     """Train with early stopping; returns (best-restored state, best val acc).
 
@@ -229,6 +230,16 @@ def fit(
     inserts the gradient psums from the shardings, and the CE-sum loss keeps
     its global-batch gradient scale (the sum runs over the whole sharded
     batch inside one XLA program).
+
+    ``on_rss_limit``: optional ``callback(epoch)`` fired at an epoch
+    boundary when host RSS crosses ``utils.rss.rss_limit_gb()`` — the
+    remote-tunnel transfer path retains ~payload bytes per dispatch in
+    host RSS (measured: ``utils/rss.py`` docstring), so long corpus runs
+    must recycle the process. The callback runs right AFTER the epoch's
+    "last" checkpoint is saved, so a callback that re-execs the same
+    command with ``--resume`` (``cli.cmd_train`` wires this) continues
+    the exact stream. A callback that returns lets training continue
+    (warn-only mode).
     """
     metrics = metrics or MetricsLogger(None)
     best_eval_acc = 0.0
@@ -405,6 +416,18 @@ def fit(
         )
         if stop:
             break
+        if on_rss_limit is not None and epoch < cfg.n_epochs:
+            from ..utils import rss
+
+            if rss.over_limit():
+                print_and_log(
+                    "[rss-watchdog] host RSS %.1f GB > limit %.1f GB after "
+                    "epoch %d — recycling the process (resume continues "
+                    "the exact stream from the just-saved checkpoint)"
+                    % (rss.rss_gb(), rss.rss_limit_gb(), epoch),
+                    log_file,
+                )
+                on_rss_limit(epoch)
 
     print("Model Trained! Restoring model to best Eval performance checkpoint...")
     if ckpt.exists("best"):
