@@ -84,6 +84,24 @@ def use_packed_w() -> bool:
     return os.environ.get("COVA_PACKED_W", "1") != "0"
 
 
+def use_remat() -> bool:
+    """Rematerialize each backbone block's activations in the backward
+    (``jax.checkpoint`` via ``nn.remat``): stores only block INPUTS between
+    forward and backward, trading ~1 extra block forward of FLOPs for the
+    per-block temp footprint. Off by default — the flagship truncated stem
+    fits comfortably; ``COVA_REMAT=1`` turns it on for deep-backbone /
+    high-res configs (the BASELINE stretch RN50+2560px step needs 18.19 G
+    of 15.75 G HBM without it, artifacts/tpu_r5/stretch_full.err).
+
+    Param/stat tree paths are remat-invariant (blocks get their auto-names
+    explicitly when wrapped; pinned by tests/test_remat.py), so checkpoints
+    interchange between the two modes.
+    """
+    import os
+
+    return os.environ.get("COVA_REMAT", "0") == "1"
+
+
 class StemConv(nn.Module):
     """7x7/2 RGB conv through the MXU-shaped space-to-depth formulation
     (``ops/conv_stem.py``). Parameter path/shape (``kernel`` [7, 7, 3, F])
@@ -295,6 +313,15 @@ class ResNetBackbone(nn.Module):
             x = nn.max_pool(
                 x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
             )
+        # train is a static (Python bool) argument: arg 0 is the module
+        # instance under flax's lifted transform, so train sits at index 2.
+        remat = use_remat()
+        block_cls = (
+            nn.remat(self.block_cls, static_argnums=(2,))
+            if remat
+            else self.block_cls
+        )
+        block_idx = 0
         for stage in range(self.n_stages):
             filters = 64 * (2**stage)
             # The 64-channel stage runs W-packed ([B, H, W/2, 128]: exact
@@ -314,9 +341,16 @@ class ResNetBackbone(nn.Module):
             for block in range(self.stage_sizes[stage]):
                 strides = (2, 2) if stage > 0 and block == 0 else (1, 1)
                 kwargs = {"packed": True} if pack else {}
-                x = self.block_cls(
+                if remat:
+                    # nn.remat's lifted class would auto-name differently;
+                    # pass the name flax would have chosen so param/stat
+                    # tree paths (and torch_port keys, torch_port.py:72/148)
+                    # are identical either way.
+                    kwargs["name"] = f"{self.block_cls.__name__}_{block_idx}"
+                x = block_cls(
                     filters, strides=strides, dtype=self.dtype, **kwargs
                 )(x, train)
+                block_idx += 1
             if pack:
                 x = unpack_w(x)
         return x
