@@ -13,7 +13,8 @@ Flax model on the TPU in the training dtype (bf16), and require
   * 100% retrieval-pick agreement (the argmax-logit box per non-BG class —
     exactly what the eval metric scores at k=1, ``train.py:144-153``).
 
-Writes ``artifacts/tpu_r4/parity_flagship.json`` and prints a summary line.
+Writes ``artifacts/$COVA_BATTERY_OUT/parity_flagship.json`` (default
+tpu_r5) and prints a summary line.
 Run on the chip: ``python scripts/parity_flagship.py [n_pages]``.
 """
 
@@ -132,7 +133,9 @@ def main() -> int:
         "torch_oracle_secs": torch_secs,
         "tpu_secs_incl_compile": tpu_secs,
     }
-    out_dir = os.path.join(REPO, "artifacts", "tpu_r4")
+    out_dir = os.path.join(
+        REPO, "artifacts", os.environ.get("COVA_BATTERY_OUT", "tpu_r5")
+    )
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "parity_flagship.json"), "w") as f:
         json.dump(result, f, indent=2)
