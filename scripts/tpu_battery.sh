@@ -71,6 +71,10 @@ run bench_af          python -m cova_tpu.cli bench --mode train -bsb 8 --use_add
 # screenshots, larger K context (VERDICT r4 item 3; the config string
 # lands in the JSON via backbone/context_size fields).
 run stretch           python -m cova_tpu.cli bench --mode train -bsb 2 --img_height 2560
-run stretch_full      python -m cova_tpu.cli bench --mode train -bsb 2 --img_height 2560 --backbone resnet50 -cs 24
+# stretch_full needs per-block remat: without it the full-RN50 2560px step
+# stores 18.19 G of activations against 15.75 G HBM (B=1 no-remat 17.55 G
+# and B=4 remat 17.06 G also OOM — B=2+remat is the single-chip operating
+# point; artifacts/tpu_r5/stretch_full.err, models/resnet.py use_remat).
+run stretch_full      env COVA_REMAT=1 python -m cova_tpu.cli bench --mode train -bsb 2 --img_height 2560 --backbone resnet50 -cs 24
 
 python scripts/summarize_battery.py "$OUT" | tee "$OUT/SUMMARY.txt"
