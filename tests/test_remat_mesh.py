@@ -8,7 +8,6 @@ remat step == the same step unsharded without remat."""
 
 import jax
 import numpy as np
-import pytest
 
 from cova_tpu.config import Config
 from cova_tpu.data.batching import Batch
