@@ -93,6 +93,11 @@ def use_remat() -> bool:
     high-res configs (the BASELINE stretch RN50+2560px step needs 18.19 G
     of 15.75 G HBM without it, artifacts/tpu_r5/stretch_full.err).
 
+    Measured cost at RN50/1280px/B=2 on a v5e, where both modes fit:
+    94.68 -> 103.58 ms/step (+9.4%, artifacts/tpu_r5/remat_ab_rn50_*.out)
+    — the recompute is mostly MXU-cheap convs while the step is partly
+    HBM-bound, so the classic "~1/3 extra" FLOPs estimate overstates it.
+
     Param/stat tree paths are remat-invariant (blocks get their auto-names
     explicitly when wrapped; pinned by tests/test_remat.py), so checkpoints
     interchange between the two modes.
